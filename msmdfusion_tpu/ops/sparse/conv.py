@@ -1,0 +1,265 @@
+"""Sparse 3D convolution as rulebook-free gather-GEMM on sorted voxel keys.
+
+TPU-native equivalent of the reference's spconv stack: rulebook construction
+(`get_indice_pairs`, mmdet3d/ops/spconv/ops.py:46-107;
+include/spconv/indice.h:20-45) and gather-GEMM-scatter `indice_conv`
+(ops/spconv/ops.py:108-128, functional.py:20-100).
+
+Design (idiomatic XLA, no scatter needed):
+- **Submanifold conv** (SubMConv3d): output coords == input coords; for each
+  kernel tap the neighbor row is found by `searchsorted` on the sorted keys,
+  producing a dense neighbor table [T, K]; the conv is an accumulation of
+  `take(features)[K, Cin] @ W[t]` over taps — pure gather + MXU matmul.
+- **Regular/strided conv** (SparseConv3d): active output coords are the
+  sorted-unique of per-input candidates (only taps satisfying the stride
+  divisibility generate candidates); the conv then *gathers from the input*
+  hash at `out*stride - pad + tap`, so it is scatter-free too.
+- Transposed/"inverse" conv reuses the stored output coords of the matching
+  downsample (the reference's `indice_key` pairing) — see `inverse_conv`.
+
+Weight layout: [T, Cin, Cout] with taps enumerated in z-major order
+(`itertools.product(range(kz), range(ky), range(kx))`) to match spconv's
+kernel enumeration for checkpoint-parity.
+"""
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tensor import (INT_MAX, SparseTensor, lookup, make_sparse_tensor,
+                     pack_keys, unpack_keys)
+
+
+def _triple(v) -> Tuple[int, int, int]:
+    if isinstance(v, (list, tuple)):
+        assert len(v) == 3
+        return tuple(int(x) for x in v)
+    return (int(v),) * 3
+
+
+def kernel_offsets(kernel_size) -> np.ndarray:
+    """[T, 3] z-major tap offsets in input-coordinate deltas (tap - center)."""
+    kz, ky, kx = _triple(kernel_size)
+    taps = np.array(list(itertools.product(range(kz), range(ky), range(kx))),
+                    dtype=np.int32)
+    center = np.array([kz // 2, ky // 2, kx // 2], dtype=np.int32)
+    return taps - center
+
+
+def build_subm_neighbor_table(st: SparseTensor, kernel_size) -> jax.Array:
+    """Neighbor row table for a submanifold conv: [T, K] int32 (-1 missing).
+
+    This is the TPU analog of the spconv subm rulebook; reuse it across all
+    SubM convs sharing an ``indice_key``.
+    """
+    offsets = kernel_offsets(kernel_size)        # [T, 3]
+    t = offsets.shape[0]
+    coords = st.coords                           # [K, 4]
+    z, y, x = st.spatial_shape
+
+    def one_tap(off):
+        nb = jnp.concatenate(
+            [coords[:, :1], coords[:, 1:] + off[None, :]], axis=-1)
+        in_bounds = jnp.all(
+            (nb[:, 1:] >= 0) & (nb[:, 1:] < jnp.array([z, y, x])), axis=-1)
+        ok = st.valid & in_bounds
+        keys = pack_keys(nb, st.spatial_shape, st.batch_size, ok)
+        return lookup(st.keys, keys)
+
+    return jax.vmap(one_tap)(jnp.asarray(offsets))
+
+
+def subm_conv(st: SparseTensor, weights: jax.Array,
+              neighbor_table: jax.Array, bias=None) -> SparseTensor:
+    """Submanifold sparse conv.
+
+    Args:
+        st: input with sorted-key invariant.
+        weights: [T, Cin, Cout].
+        neighbor_table: [T, K] from build_subm_neighbor_table.
+    """
+    k = st.capacity
+    cout = weights.shape[-1]
+    feats = st.features
+
+    def body(acc, inputs):
+        w_t, nb_t = inputs
+        gathered = jnp.where((nb_t >= 0)[:, None],
+                             jnp.take(feats, jnp.maximum(nb_t, 0), axis=0), 0)
+        acc = acc + jnp.dot(gathered, w_t,
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    init = jnp.zeros((k, cout), jnp.float32)
+    out, _ = jax.lax.scan(body, init, (weights, neighbor_table))
+    out = out.astype(st.features.dtype)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(st.valid[:, None], out, 0)
+    return SparseTensor(features=out, coords=st.coords, valid=st.valid,
+                        keys=st.keys, spatial_shape=st.spatial_shape,
+                        batch_size=st.batch_size)
+
+
+def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
+                          capacity: int):
+    """Active output coordinate set of a strided sparse conv.
+
+    Output position o (per axis) receives input i iff
+    ``o*stride - pad + tap == i`` for some tap in [0, kernel); candidates are
+    generated per input using only the taps that satisfy the stride
+    divisibility (ceil(kernel/stride) per axis instead of kernel), then
+    sorted-uniqued into a fixed-capacity coord set. Returns
+    (out_keys [capacity], out_coords [capacity, 4], out_valid [capacity],
+    out_spatial_shape).
+    """
+    kz, ky, kx = _triple(kernel_size)
+    sz, sy, sx = _triple(stride)
+    pz, py, px = _triple(padding)
+    z, y, x = st.spatial_shape
+    out_shape = (
+        (z + 2 * pz - kz) // sz + 1,
+        (y + 2 * py - ky) // sy + 1,
+        (x + 2 * px - kx) // sx + 1,
+    )
+    oz, oy, ox = out_shape
+
+    def axis_candidates(i, kdim, s, p, odim):
+        """All valid output coords per axis: [K_in, C_ax] values + mask."""
+        c_ax = -(-kdim // s)  # ceil
+        shifted = i + p
+        k0 = shifted % s     # smallest tap with divisibility
+        taps = k0[:, None] + s * jnp.arange(c_ax, dtype=jnp.int32)[None, :]
+        o = (shifted[:, None] - taps) // s
+        ok = (taps < kdim) & (o >= 0) & (o < odim)
+        return o, ok
+
+    vz, mz = axis_candidates(st.coords[:, 1], kz, sz, pz, oz)
+    vy, my = axis_candidates(st.coords[:, 2], ky, sy, py, oy)
+    vx, mx = axis_candidates(st.coords[:, 3], kx, sx, px, ox)
+
+    cz, cy, cx = vz.shape[1], vy.shape[1], vx.shape[1]
+    k_in = st.capacity
+    b = st.coords[:, 0]
+    # cartesian product of axis candidates -> [K_in, cz*cy*cx]
+    ozz = vz[:, :, None, None]
+    oyy = vy[:, None, :, None]
+    oxx = vx[:, None, None, :]
+    mzz = mz[:, :, None, None]
+    myy = my[:, None, :, None]
+    mxx = mx[:, None, None, :]
+    mask = (mzz & myy & mxx) & st.valid[:, None, None, None]
+    flat_mask = mask.reshape(k_in, -1)
+    t = flat_mask.shape[1]
+
+    cand = jnp.stack([
+        jnp.broadcast_to(b[:, None, None, None], mask.shape),
+        jnp.broadcast_to(ozz, mask.shape),
+        jnp.broadcast_to(oyy, mask.shape),
+        jnp.broadcast_to(oxx, mask.shape),
+    ], axis=-1).reshape(k_in * t, 4)
+    cand_keys = pack_keys(cand, out_shape, st.batch_size,
+                          flat_mask.reshape(-1))
+
+    skey = jnp.sort(cand_keys)
+    head = jnp.concatenate(
+        [(skey[:1] != INT_MAX),
+         (skey[1:] != skey[:-1]) & (skey[1:] != INT_MAX)])
+    # rank of each unique key; take the first `capacity` (keys ascending)
+    rank = jnp.cumsum(head.astype(jnp.int32)) - 1
+    slot = jnp.where(head & (rank < capacity), rank, capacity)
+    out_keys = jnp.full((capacity + 1,), INT_MAX, jnp.int32)
+    out_keys = out_keys.at[slot].set(skey, mode='drop')
+    out_keys = out_keys[:capacity]
+    out_valid = out_keys != INT_MAX
+    out_coords = jnp.where(out_valid[:, None],
+                           unpack_keys(out_keys, out_shape), -1)
+    return out_keys, out_coords, out_valid, out_shape
+
+
+def sparse_conv(st: SparseTensor, weights: jax.Array, out_keys, out_coords,
+                out_valid, out_spatial_shape, kernel_size, stride, padding,
+                bias=None) -> SparseTensor:
+    """Regular (possibly strided) sparse conv onto a precomputed output set.
+
+    Gathers from the input hash at ``out*stride - pad + tap`` per tap — the
+    scatter-free dual of spconv's gather-GEMM-scatter.
+    """
+    kz, ky, kx = _triple(kernel_size)
+    sz, sy, sx = _triple(stride)
+    pz, py, px = _triple(padding)
+    taps = np.array(list(itertools.product(range(kz), range(ky), range(kx))),
+                    dtype=np.int32)
+    stride_a = jnp.array([sz, sy, sx], jnp.int32)
+    pad_a = jnp.array([pz, py, px], jnp.int32)
+    z, y, x = st.spatial_shape
+    bound = jnp.array([z, y, x], jnp.int32)
+    cout = weights.shape[-1]
+    k_out = out_coords.shape[0]
+    feats = st.features
+
+    base = out_coords[:, 1:] * stride_a[None, :] - pad_a[None, :]
+
+    def body(acc, inputs):
+        w_t, tap = inputs
+        in_zyx = base + tap[None, :]
+        ok = out_valid & jnp.all((in_zyx >= 0) & (in_zyx < bound), axis=-1)
+        in_coords = jnp.concatenate([out_coords[:, :1], in_zyx], axis=-1)
+        qkeys = pack_keys(in_coords, st.spatial_shape, st.batch_size, ok)
+        rows = lookup(st.keys, qkeys)
+        gathered = jnp.where((rows >= 0)[:, None],
+                             jnp.take(feats, jnp.maximum(rows, 0), axis=0), 0)
+        acc = acc + jnp.dot(gathered, w_t,
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    init = jnp.zeros((k_out, cout), jnp.float32)
+    out, _ = jax.lax.scan(body, init, (weights, jnp.asarray(taps)))
+    out = out.astype(st.features.dtype)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(out_valid[:, None], out, 0)
+    return SparseTensor(features=out, coords=out_coords, valid=out_valid,
+                        keys=out_keys, spatial_shape=tuple(out_spatial_shape),
+                        batch_size=st.batch_size)
+
+
+def sparse_maxpool(st: SparseTensor, kernel_size, stride, padding,
+                   capacity: int) -> SparseTensor:
+    """Sparse max-pool (reference ops/spconv maxpool.cc semantics)."""
+    out_keys, out_coords, out_valid, out_shape = downsample_out_coords(
+        st, kernel_size, stride, padding, capacity)
+    kz, ky, kx = _triple(kernel_size)
+    sz, sy, sx = _triple(stride)
+    pz, py, px = _triple(padding)
+    taps = np.array(list(itertools.product(range(kz), range(ky), range(kx))),
+                    dtype=np.int32)
+    stride_a = jnp.array([sz, sy, sx], jnp.int32)
+    pad_a = jnp.array([pz, py, px], jnp.int32)
+    z, y, x = st.spatial_shape
+    bound = jnp.array([z, y, x], jnp.int32)
+    base = out_coords[:, 1:] * stride_a[None, :] - pad_a[None, :]
+    neg = jnp.full((out_coords.shape[0], st.num_channels), -jnp.inf,
+                   st.features.dtype)
+
+    def body(acc, tap):
+        in_zyx = base + tap[None, :]
+        ok = out_valid & jnp.all((in_zyx >= 0) & (in_zyx < bound), axis=-1)
+        in_coords = jnp.concatenate([out_coords[:, :1], in_zyx], axis=-1)
+        qkeys = pack_keys(in_coords, st.spatial_shape, st.batch_size, ok)
+        rows = lookup(st.keys, qkeys)
+        gathered = jnp.where(
+            (rows >= 0)[:, None],
+            jnp.take(st.features, jnp.maximum(rows, 0), axis=0), -jnp.inf)
+        return jnp.maximum(acc, gathered), None
+
+    out, _ = jax.lax.scan(body, neg, jnp.asarray(taps))
+    out = jnp.where(jnp.isfinite(out) & out_valid[:, None], out, 0)
+    return SparseTensor(features=out, coords=out_coords, valid=out_valid,
+                        keys=out_keys, spatial_shape=tuple(out_shape),
+                        batch_size=st.batch_size)

@@ -1,0 +1,172 @@
+"""Static-shape sparse voxel tensor for TPU sparse convolution.
+
+TPU-native re-design of ``spconv.SparseConvTensor`` (reference
+mmdet3d/ops/spconv/structure.py and the external spconv-2.x used by
+mmdet3d/models/middle_encoders/sparse_encoder.py:111). Instead of a
+dynamically-sized (features, indices) pair plus a CUDA hash rulebook, a
+``SparseTensor`` is a fixed-capacity pytree:
+
+    features [K, C]   — zero rows for empty slots
+    coords   [K, 4]   — int32 (b, z, y, x); -1 rows for empty slots
+    valid    [K]      — bool row mask
+
+with the *sorted-key invariant*: rows are ordered by ascending packed voxel
+key ``((b*Z + z)*Y + y)*X + x`` with invalid rows (key = INT32_MAX) at the
+end. The sorted key array IS the hash table — neighbor lookup is a
+``searchsorted`` — so submanifold convs share it for free (the reference's
+``indice_key`` rulebook reuse, ops/sparse_block.py:159) and coordinate set
+ops (union for sparse_add, intersection for the GMA modality split) are
+linear merges.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseTensor:
+    features: jax.Array      # [K, C]
+    coords: jax.Array        # [K, 4] (b, z, y, x), -1 when invalid
+    valid: jax.Array         # [K] bool
+    keys: jax.Array          # [K] int32 packed keys, INT_MAX when invalid
+    spatial_shape: Tuple[int, int, int] = dataclasses.field(
+        metadata=dict(static=True))
+    batch_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def capacity(self) -> int:
+        return self.features.shape[0]
+
+    @property
+    def num_channels(self) -> int:
+        return self.features.shape[1]
+
+    def replace_features(self, features) -> 'SparseTensor':
+        return dataclasses.replace(self, features=features)
+
+
+def pack_keys(coords, spatial_shape: Tuple[int, int, int], batch_size: int,
+              valid=None):
+    """Pack (b, z, y, x) coords into sortable int32 keys.
+
+    The full flat index must fit in int31: batch_size * prod(spatial_shape)
+    < 2**31 (true for the reference's largest grid 8 x 41 x 1440 x 1440).
+    """
+    z, y, x = spatial_shape
+    assert batch_size * z * y * x < 2 ** 31, (
+        f'key space too large for int32: {batch_size}x{z}x{y}x{x}')
+    key = ((coords[:, 0] * z + coords[:, 1]) * y + coords[:, 2]) * x + \
+        coords[:, 3]
+    if valid is not None:
+        key = jnp.where(valid, key, INT_MAX)
+    return key.astype(jnp.int32)
+
+
+def unpack_keys(keys, spatial_shape: Tuple[int, int, int]):
+    """Inverse of pack_keys -> [K, 4] coords (garbage for INT_MAX rows)."""
+    z, y, x = spatial_shape
+    xc = keys % x
+    rest = keys // x
+    yc = rest % y
+    rest = rest // y
+    zc = rest % z
+    bc = rest // z
+    return jnp.stack([bc, zc, yc, xc], axis=-1)
+
+
+def make_sparse_tensor(features, coords, valid,
+                       spatial_shape: Tuple[int, int, int], batch_size: int,
+                       assume_sorted: bool = False) -> SparseTensor:
+    """Build a SparseTensor, establishing the sorted-key invariant."""
+    keys = pack_keys(coords, spatial_shape, batch_size, valid)
+    if not assume_sorted:
+        order = jnp.argsort(keys)
+        keys = keys[order]
+        features = features[order]
+        coords = coords[order]
+        valid = valid[order]
+    features = jnp.where(valid[:, None], features, 0)
+    coords = jnp.where(valid[:, None], coords, -1)
+    return SparseTensor(features=features, coords=coords, valid=valid,
+                        keys=keys, spatial_shape=tuple(spatial_shape),
+                        batch_size=batch_size)
+
+
+def lookup(st_keys, query_keys):
+    """Hash lookup: row index of each query key, or -1 if absent.
+
+    st_keys must obey the sorted-key invariant.
+    """
+    pos = jnp.searchsorted(st_keys, query_keys, side='left')
+    pos = jnp.minimum(pos, st_keys.shape[0] - 1)
+    found = (st_keys[pos] == query_keys) & (query_keys != INT_MAX)
+    return jnp.where(found, pos, -1)
+
+
+def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
+    """Coordinate-union elementwise add of two sparse tensors.
+
+    TPU-native equivalent of spconv's ``Fsp.sparse_add`` (used by the GMA
+    encoder, sparse_multimodal_encoder_painting.py:455). Channel counts must
+    match; output has static ``capacity`` rows (overflow beyond capacity is
+    dropped deterministically from the high-key end).
+    """
+    assert a.spatial_shape == b.spatial_shape
+    assert a.num_channels == b.num_channels
+    keys = jnp.concatenate([a.keys, b.keys])
+    feats = jnp.concatenate([a.features, b.features], axis=0)
+    valid = jnp.concatenate([a.valid, b.valid])
+    order = jnp.argsort(keys)
+    skey = keys[order]
+    sfeat = feats[order]
+    svalid = valid[order]
+    n = skey.shape[0]
+    head = jnp.concatenate([svalid[:1], (skey[1:] != skey[:-1]) & svalid[1:]])
+    group = jnp.cumsum(head.astype(jnp.int32)) - 1
+    group = jnp.where(svalid, group, capacity)  # park invalid out of range
+    group = jnp.minimum(group, capacity)
+    out_feats = jax.ops.segment_sum(
+        jnp.where(svalid[:, None], sfeat, 0), group,
+        num_segments=capacity + 1)[:capacity]
+    out_keys = jnp.full((capacity + 1,), INT_MAX, jnp.int32)
+    out_keys = out_keys.at[jnp.where(head, group, capacity)].set(
+        skey, mode='drop')
+    out_keys = out_keys[:capacity]
+    out_valid = out_keys != INT_MAX
+    coords = unpack_keys(out_keys, a.spatial_shape)
+    coords = jnp.where(out_valid[:, None], coords, -1)
+    return SparseTensor(
+        features=jnp.where(out_valid[:, None], out_feats, 0), coords=coords,
+        valid=out_valid, keys=out_keys, spatial_shape=a.spatial_shape,
+        batch_size=max(a.batch_size, b.batch_size))
+
+
+def to_dense_bev(st: SparseTensor):
+    """Densify to a channels-last BEV map [B, H, W, C*D].
+
+    Matches the reference's ``dense(); view(N, C*D, H, W)`` collapse
+    (sparse_encoder.py:128-132) with channel index c*D + d, but in NHWC
+    layout, which is the natural TPU conv layout.
+    """
+    d, h, w = st.spatial_shape
+    b = st.batch_size
+    c = st.num_channels
+    flat = (st.coords[:, 0] * d + st.coords[:, 1]) * (h * w) + \
+        st.coords[:, 2] * w + st.coords[:, 3]
+    flat = jnp.where(st.valid, flat, b * d * h * w)
+    dense = jnp.zeros((b * d * h * w + 1, c), st.features.dtype)
+    dense = dense.at[flat].set(st.features, mode='drop')
+    dense = dense[:-1].reshape(b, d, h, w, c)
+    dense = jnp.transpose(dense, (0, 2, 3, 4, 1))  # [B, H, W, C, D]
+    return dense.reshape(b, h, w, c * d)
+
+
+def from_dense_bev():  # pragma: no cover - placeholder for symmetry
+    raise NotImplementedError
