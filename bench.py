@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""E2E inference benchmark: frames/sec/chip on the flagship MSMDFusion model.
+
+Runs the full multimodal pipeline (voxelize -> sparse encoder -> MDU
+decoration -> GMA fusion -> SECOND/FPN -> TransFusion head -> decode) on
+synthetic nuScenes-scale inputs on the real TPU chip, and prints ONE JSON
+line for the driver.
+
+The reference publishes no inference FPS for MSMDFusion (SURVEY §6); its
+measurement harness is tools/analysis_tools/benchmark.py (warmup 5 + synced
+timing), which this reproduces. ``vs_baseline`` is the ratio against an
+estimated 2.0 FPS for the reference implementation on a V100 (TransFusion-L
+is ~3-4 FPS on V100; MSMDFusion adds the 4-scale fg pipeline and GMA
+encoder on top), documented here so the number is interpretable.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ASSUMED_REFERENCE_FPS = 2.0  # estimated reference V100 E2E (see docstring)
+
+
+def main():
+    import jax
+    from __graft_entry__ import _flagship_model, _synth_batch
+
+    model, shape = _flagship_model('entry')
+    batch = _synth_batch(shape, b=1)
+    variables = model.init(jax.random.PRNGKey(0), batch['points'],
+                           batch['points_mask'], batch['img'], batch['fg'])
+
+    @jax.jit
+    def forward(points, points_mask, img, fg):
+        preds = model.apply(variables, points, points_mask, img, fg,
+                            train=False)
+        return model.apply(variables, preds, method=type(model).get_bboxes)
+
+    args = (batch['points'], batch['points_mask'], batch['img'], batch['fg'])
+    # warmup (compile + 5 steady, mirroring analysis_tools/benchmark.py)
+    out = jax.block_until_ready(forward(*args))
+    for _ in range(5):
+        out = jax.block_until_ready(forward(*args))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(forward(*args))
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        'metric': 'frames/sec/chip nuScenes E2E inference (MSMDFusion)',
+        'value': round(fps, 3),
+        'unit': 'fps',
+        'vs_baseline': round(fps / ASSUMED_REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

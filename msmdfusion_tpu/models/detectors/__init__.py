@@ -1,0 +1,6 @@
+from .msmdfusion import MSMDFusionDetector, SPPModule
+from .transfusion import TransFusionDetector
+from .voxelnet import CenterPoint, DynamicVoxelNet, VoxelNet
+
+__all__ = ['CenterPoint', 'DynamicVoxelNet', 'MSMDFusionDetector',
+           'SPPModule', 'TransFusionDetector', 'VoxelNet']

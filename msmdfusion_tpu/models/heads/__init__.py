@@ -1,0 +1,5 @@
+from .anchor3d_head import Anchor3DHead
+from .centerpoint_head import CenterHead, SeparateHead
+from .transfusion_head import TransFusionHead
+
+__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'TransFusionHead']

@@ -1,0 +1,6 @@
+from .gma_encoder import SparseMultiModalEncoderPaint
+from .pillar_scatter import PointPillarsScatter
+from .sparse_encoder import SparseEncoder
+
+__all__ = ['SparseMultiModalEncoderPaint', 'PointPillarsScatter',
+           'SparseEncoder']

@@ -1,0 +1,4 @@
+from .fpn import FPN
+from .second_fpn import SECONDFPN
+
+__all__ = ['FPN', 'SECONDFPN']

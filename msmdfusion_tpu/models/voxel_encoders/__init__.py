@@ -1,0 +1,3 @@
+from .voxel_encoder import HardSimpleVFE, PillarFeatureNet, hard_simple_vfe
+
+__all__ = ['HardSimpleVFE', 'PillarFeatureNet', 'hard_simple_vfe']

@@ -1,0 +1,184 @@
+"""Point sampling / neighborhood ops (FPS, kNN, ball query, grouping,
+three-NN interpolation, point-in-box tests).
+
+TPU-native equivalents of the reference CUDA kernels:
+- furthest_point_sample (ops/furthest_point_sample/src/
+  furthest_point_sample_cuda.cu:26) -> ``lax.fori_loop`` argmax-update;
+- knn (ops/knn/src/knn_cuda.cu:28) -> pairwise dist via MXU + top_k;
+- ball_query (ops/ball_query/src/ball_query_cuda.cu:11) -> masked top-k
+  within radius;
+- gather/group points (ops/gather_points, ops/group_points) ->
+  ``jnp.take``/``take_along_axis`` (autodiff for free);
+- three_nn / three_interpolate (ops/interpolate/src/three_nn_cuda.cu:11);
+- points_in_boxes_* (ops/roiaware_pool3d/src/points_in_boxes_cuda.cu:51)
+  -> core.boxes.points_in_rbbox;
+- RoIAware pooling (ops/roiaware_pool3d) -> masked segment max/mean.
+
+All functions are batched [B, N, ...] with validity masks and static output
+shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.boxes import points_in_rbbox
+
+BIG = 1e10
+
+
+def square_distance(src, dst):
+    """[.., N, 3] x [.., M, 3] -> [.., N, M] squared distances (MXU form)."""
+    d = (jnp.sum(src * src, -1)[..., :, None] +
+         jnp.sum(dst * dst, -1)[..., None, :] -
+         2.0 * src @ jnp.swapaxes(dst, -1, -2))
+    return jnp.maximum(d, 0.0)
+
+
+def furthest_point_sample(xyz, num_samples: int, valid=None):
+    """Iterative FPS.
+
+    Args:
+        xyz: [N, 3]; valid: [N] bool.
+    Returns:
+        [num_samples] int32 indices (repeats possible if fewer valid points).
+    """
+    n = xyz.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    dist = jnp.where(valid, BIG, -BIG)
+    first = jnp.argmax(valid)          # deterministic start: first valid
+
+    def body(i, state):
+        dist, current, out = state
+        out = out.at[i].set(current)
+        d = jnp.sum((xyz - xyz[current]) ** 2, axis=-1)
+        dist = jnp.minimum(dist, jnp.where(valid, d, -BIG))
+        nxt = jnp.argmax(dist)
+        return dist, nxt, out
+
+    out = jnp.zeros((num_samples,), jnp.int32)
+    _, _, out = jax.lax.fori_loop(
+        0, num_samples, body, (dist, first.astype(jnp.int32), out))
+    return out
+
+
+def knn(query, key, k: int, key_valid=None):
+    """k nearest keys per query.
+
+    Returns (dist2 [Nq, k], idx [Nq, k]).
+    """
+    d = square_distance(query, key)
+    if key_valid is not None:
+        d = jnp.where(key_valid[None, :], d, BIG)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return -neg_d, idx
+
+
+def ball_query(radius: float, num_samples: int, xyz, centers,
+               xyz_valid=None):
+    """Indices of up to num_samples points within radius of each center.
+
+    Matches reference semantics: empty slots are filled with the first
+    in-radius point (ball_query_cuda.cu behavior).
+    Returns idx [Ncenters, num_samples] int32 (or -1 if nothing in radius).
+    """
+    d = square_distance(centers, xyz)                   # [M, N]
+    if xyz_valid is not None:
+        d = jnp.where(xyz_valid[None, :], d, BIG)
+    in_radius = d <= radius * radius
+    # top-k smallest distances among in-radius (mask others to BIG)
+    masked = jnp.where(in_radius, d, BIG)
+    neg_d, idx = jax.lax.top_k(-masked, num_samples)
+    found = -neg_d < BIG / 2
+    first = idx[:, :1]
+    has_any = found[:, :1]
+    idx = jnp.where(found, idx, jnp.where(has_any, first, -1))
+    return idx
+
+
+def gather_points(points, idx):
+    """points [N, C], idx [...] -> [..., C]."""
+    return jnp.take(points, jnp.maximum(idx, 0), axis=0)
+
+
+def group_points(points, idx):
+    """points [N, C], idx [M, S] -> [M, S, C] with -1 slots zeroed."""
+    out = jnp.take(points, jnp.maximum(idx, 0), axis=0)
+    return jnp.where((idx >= 0)[..., None], out, 0)
+
+
+def three_nn(query, key, key_valid=None):
+    """3 nearest keys (reference three_nn)."""
+    return knn(query, key, 3, key_valid)
+
+
+def three_interpolate(feats, idx, dist2, eps: float = 1e-8):
+    """Inverse-distance weighted interpolation of 3-NN features.
+
+    feats [M, C], idx [N, 3], dist2 [N, 3] -> [N, C].
+    """
+    w = 1.0 / (dist2 + eps)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    gathered = jnp.take(feats, jnp.maximum(idx, 0), axis=0)  # [N, 3, C]
+    return jnp.sum(gathered * w[..., None], axis=1)
+
+
+def points_in_boxes_batch(points, boxes):
+    """Batched point-in-rotated-box (reference points_in_boxes_batch).
+
+    points [B, P, 3], boxes [B, N, 7] -> [B, P, N] bool.
+    """
+    return jax.vmap(points_in_rbbox)(points, boxes)
+
+
+def roiaware_pool3d(points, feats, boxes, out_size: Tuple[int, int, int],
+                    mode: str = 'max', max_pts_per_voxel: int = 128):
+    """RoI-aware pooling of point features onto a per-box voxel grid.
+
+    TPU-native equivalent of ops/roiaware_pool3d: transform points into each
+    box frame, bucket into the (ox, oy, oz) grid, segment max/avg.
+
+    Args:
+        points: [P, 3]; feats: [P, C]; boxes: [N, 7].
+    Returns:
+        [N, ox, oy, oz, C] pooled features.
+    """
+    n = boxes.shape[0]
+    p = points.shape[0]
+    c = feats.shape[-1]
+    ox, oy, oz = out_size
+
+    def pool_one(box):
+        local = points - box[:3]
+        yaw = box[6]
+        cos, sin = jnp.cos(-yaw), jnp.sin(-yaw)
+        lx = local[:, 0] * cos - local[:, 1] * sin
+        ly = local[:, 0] * sin + local[:, 1] * cos
+        lz = local[:, 2]
+        inside = ((jnp.abs(lx) <= box[3] / 2) & (jnp.abs(ly) <= box[4] / 2) &
+                  (lz >= 0) & (lz <= box[5]))
+        ix = jnp.clip(((lx / box[3] + 0.5) * ox).astype(jnp.int32), 0, ox - 1)
+        iy = jnp.clip(((ly / box[4] + 0.5) * oy).astype(jnp.int32), 0, oy - 1)
+        iz = jnp.clip((lz / box[5] * oz).astype(jnp.int32), 0, oz - 1)
+        cell = (ix * oy + iy) * oz + iz
+        cell = jnp.where(inside, cell, ox * oy * oz)
+        if mode == 'max':
+            pooled = jax.ops.segment_max(
+                jnp.where(inside[:, None], feats, -jnp.inf), cell,
+                num_segments=ox * oy * oz + 1)[:-1]
+            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0)
+        else:
+            s = jax.ops.segment_sum(
+                jnp.where(inside[:, None], feats, 0), cell,
+                num_segments=ox * oy * oz + 1)[:-1]
+            cnt = jax.ops.segment_sum(
+                inside.astype(feats.dtype), cell,
+                num_segments=ox * oy * oz + 1)[:-1]
+            pooled = s / jnp.maximum(cnt[:, None], 1)
+        return pooled.reshape(ox, oy, oz, c)
+
+    return jax.vmap(pool_one)(boxes)

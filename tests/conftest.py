@@ -2,7 +2,7 @@
 paths compile and run without TPU hardware."""
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
@@ -10,6 +10,10 @@ if 'xla_force_host_platform_device_count' not in _flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
 @pytest.fixture
