@@ -24,6 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ASSUMED_REFERENCE_FPS = 2.0  # estimated reference V100 E2E (see docstring)
 
+def _enable_compile_cache():
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
+
+_enable_compile_cache()
+
 
 def main():
     import jax
@@ -31,8 +39,9 @@ def main():
 
     model, shape = _flagship_model('entry')
     batch = _synth_batch(shape, b=1)
-    variables = model.init(jax.random.PRNGKey(0), batch['points'],
-                           batch['points_mask'], batch['img'], batch['fg'])
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch['points'], batch['points_mask'],
+        batch['img'], batch['fg'])
 
     @jax.jit
     def forward(points, points_mask, img, fg):

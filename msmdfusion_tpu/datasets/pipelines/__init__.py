@@ -1,4 +1,4 @@
-from . import dbsampler, loading, transforms_3d  # noqa: F401
+from . import dbsampler, foreground, loading, transforms_3d  # noqa: F401
 from .loading import Compose
 
 __all__ = ['Compose']

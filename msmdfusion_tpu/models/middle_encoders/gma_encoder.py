@@ -85,8 +85,9 @@ def approx_nn_3d(query_coords, query_valid, key_coords, key_valid,
     reps_valid = query_valid[rep_rows]
 
     def dist2(a, ab, b, bb):
+        prod = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
         d = (jnp.sum(a * a, -1)[:, None] + jnp.sum(b * b, -1)[None, :]
-             - 2.0 * a @ b.T)
+             - 2.0 * prod)
         same_batch = ab[:, None] == bb[None, :]
         return jnp.where(same_batch, jnp.maximum(d, 0.0), jnp.inf)
 

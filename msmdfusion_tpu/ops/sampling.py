@@ -31,10 +31,15 @@ BIG = 1e10
 
 
 def square_distance(src, dst):
-    """[.., N, 3] x [.., M, 3] -> [.., N, M] squared distances (MXU form)."""
+    """[.., N, 3] x [.., M, 3] -> [.., N, M] squared distances (MXU form).
+
+    HIGHEST matmul precision: the quadratic-expansion form cancels
+    catastrophically under bf16 MXU passes (self-distances came out ~0.06).
+    """
+    prod = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
     d = (jnp.sum(src * src, -1)[..., :, None] +
-         jnp.sum(dst * dst, -1)[..., None, :] -
-         2.0 * src @ jnp.swapaxes(dst, -1, -2))
+         jnp.sum(dst * dst, -1)[..., None, :] - 2.0 * prod)
     return jnp.maximum(d, 0.0)
 
 

