@@ -285,3 +285,47 @@ def sparse_maxpool(st: SparseTensor, kernel_size, stride, padding,
     return SparseTensor(features=out, coords=out_coords, valid=out_valid,
                         keys=out_keys, spatial_shape=tuple(out_shape),
                         batch_size=st.batch_size)
+
+
+def inverse_conv(st: SparseTensor, weights: jax.Array, orig_keys,
+                 orig_coords, orig_valid,
+                 orig_spatial_shape, kernel_size, stride, padding,
+                 bias=None) -> SparseTensor:
+    """Transposed ("inverse") sparse conv back onto a stored coord set.
+
+    TPU-native equivalent of spconv's SparseInverseConv3d (used by
+    SparseUNet, reference mmdet3d/models/middle_encoders/sparse_unet.py):
+    the output coords are the *input* coords of the matching strided conv
+    (the reference pairs them via indice_key; here the caller passes the
+    stored coord set explicitly). Output row o at the fine resolution
+    gathers input rows i at the coarse resolution where
+    ``o = i*stride - pad + tap``.
+    """
+    kz, ky, kx = _triple(kernel_size)
+    sz, sy, sx = _triple(stride)
+    pz, py, px = _triple(padding)
+    taps = jnp.asarray(list(itertools.product(range(kz), range(ky),
+                                              range(kx))), dtype=jnp.int32)
+    stride_a = jnp.array([sz, sy, sx], jnp.int32)
+    pad_a = jnp.array([pz, py, px], jnp.int32)
+    z, y, x = st.spatial_shape
+    bound = jnp.array([z, y, x], jnp.int32)
+
+    numer = orig_coords[:, 1:][None, :, :] + pad_a[None, None, :] - \
+        taps[:, None, :]                                   # [T, K, 3]
+    divisible = jnp.all(numer % stride_a[None, None, :] == 0, axis=-1)
+    in_zyx = numer // stride_a[None, None, :]
+    ok = orig_valid[None, :] & divisible & jnp.all(
+        (in_zyx >= 0) & (in_zyx < bound), axis=-1)
+    t, k_out = ok.shape
+    b = jnp.broadcast_to(orig_coords[None, :, :1], (t, k_out, 1))
+    qcoords = jnp.concatenate([b, in_zyx], axis=-1).reshape(t * k_out, 4)
+    qkeys = pack_keys(qcoords, st.spatial_shape, st.batch_size,
+                      ok.reshape(-1))
+    rows = lookup(st.keys, qkeys).reshape(t, k_out)
+    out = gather_gemm(st.features, rows, weights, orig_valid)
+    if bias is not None:
+        out = jnp.where(orig_valid[:, None], out + bias, 0)
+    return SparseTensor(features=out, coords=orig_coords, valid=orig_valid,
+                        keys=orig_keys, spatial_shape=tuple(orig_spatial_shape),
+                        batch_size=st.batch_size)
