@@ -1,5 +1,6 @@
 from .anchor3d_head import Anchor3DHead
 from .centerpoint_head import CenterHead, SeparateHead
 from .transfusion_head import TransFusionHead
+from .vote_head import VoteHead
 
-__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'TransFusionHead']
+__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'TransFusionHead', 'VoteHead']

@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .tensor import (INT_MAX, SparseTensor, lookup, make_sparse_tensor,
-                     pack_keys, unpack_keys)
+from .tensor import (INT_MAX, SparseTensor, build_hash_table, lookup,
+                     make_sparse_tensor, pack_keys, unpack_keys)
 
 
 def _triple(v) -> Tuple[int, int, int]:
@@ -58,9 +58,9 @@ def build_subm_neighbor_table(st: SparseTensor, kernel_size) -> jax.Array:
     SubM convs sharing an ``indice_key``.
     """
     offsets = kernel_offsets(kernel_size)        # [T, 3]
-    t = offsets.shape[0]
     coords = st.coords                           # [K, 4]
     z, y, x = st.spatial_shape
+    table = build_hash_table(st)
 
     def one_tap(off):
         nb = jnp.concatenate(
@@ -69,9 +69,9 @@ def build_subm_neighbor_table(st: SparseTensor, kernel_size) -> jax.Array:
             (nb[:, 1:] >= 0) & (nb[:, 1:] < jnp.array([z, y, x])), axis=-1)
         ok = st.valid & in_bounds
         keys = pack_keys(nb, st.spatial_shape, st.batch_size, ok)
-        return lookup(st.keys, keys)
+        return lookup(st.keys, keys, table)
 
-    return jax.vmap(one_tap)(jnp.asarray(offsets))
+    return jax.vmap(one_tap, in_axes=0)(jnp.asarray(offsets))
 
 
 # cap on the [taps_chunk, K, C] gather buffer (bytes) — keeps peak HBM use
@@ -248,7 +248,8 @@ def build_conv_neighbor_table(st: SparseTensor, out_coords, out_valid,
     qcoords = jnp.concatenate([b, in_zyx], axis=-1).reshape(t * k_out, 4)
     qkeys = pack_keys(qcoords, st.spatial_shape, st.batch_size,
                       ok.reshape(-1))
-    return lookup(st.keys, qkeys).reshape(t, k_out)
+    table = build_hash_table(st)
+    return lookup(st.keys, qkeys, table).reshape(t, k_out)
 
 
 def sparse_maxpool(st: SparseTensor, kernel_size, stride, padding,
@@ -322,7 +323,7 @@ def inverse_conv(st: SparseTensor, weights: jax.Array, orig_keys,
     qcoords = jnp.concatenate([b, in_zyx], axis=-1).reshape(t * k_out, 4)
     qkeys = pack_keys(qcoords, st.spatial_shape, st.batch_size,
                       ok.reshape(-1))
-    rows = lookup(st.keys, qkeys).reshape(t, k_out)
+    rows = lookup(st.keys, qkeys, build_hash_table(st)).reshape(t, k_out)
     out = gather_gemm(st.features, rows, weights, orig_valid)
     if bias is not None:
         out = jnp.where(orig_valid[:, None], out + bias, 0)

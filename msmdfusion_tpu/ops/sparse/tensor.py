@@ -99,11 +99,48 @@ def make_sparse_tensor(features, coords, valid,
                         batch_size=batch_size)
 
 
-def lookup(st_keys, query_keys):
+# above this cell count the direct-indexed table (int32 per grid cell) is
+# considered too large and lookups fall back to binary search
+DENSE_TABLE_MAX_CELLS = 256 * 1024 * 1024
+
+
+def num_cells(spatial_shape: Tuple[int, int, int], batch_size: int) -> int:
+    z, y, x = spatial_shape
+    return batch_size * z * y * x
+
+
+def build_hash_table(st: 'SparseTensor'):
+    """Direct-indexed coord->row table [num_cells] int32 (-1 empty).
+
+    The packed key IS the flat grid index, so the voxel hash is simply a
+    scatter of row ids into a dense int32 grid — every subsequent lookup is
+    one vectorized gather. This is dramatically faster on TPU than
+    ``searchsorted`` (whose 17-round binary-search while-loop dominated the
+    sparse encoder profile at ~170ms per call). Returns None when the grid
+    is too large (callers fall back to binary search).
+    """
+    cells = num_cells(st.spatial_shape, st.batch_size)
+    if cells > DENSE_TABLE_MAX_CELLS:
+        return None
+    k = st.capacity
+    idx = jnp.where(st.valid, st.keys, cells)
+    table = jnp.full((cells + 1,), -1, jnp.int32)
+    table = table.at[idx].set(jnp.arange(k, dtype=jnp.int32), mode='drop')
+    return table[:cells]
+
+
+def lookup(st_keys, query_keys, table=None):
     """Hash lookup: row index of each query key, or -1 if absent.
 
-    st_keys must obey the sorted-key invariant.
+    With a dense ``table`` (build_hash_table) this is one gather; otherwise
+    a binary search over the sorted-key invariant.
     """
+    if table is not None:
+        cells = table.shape[0]
+        safe = jnp.clip(query_keys, 0, cells - 1)
+        rows = jnp.take(table, safe)
+        valid = (query_keys >= 0) & (query_keys < cells)
+        return jnp.where(valid, rows, -1)
     pos = jnp.searchsorted(st_keys, query_keys, side='left')
     pos = jnp.minimum(pos, st_keys.shape[0] - 1)
     found = (st_keys[pos] == query_keys) & (query_keys != INT_MAX)
