@@ -21,13 +21,21 @@ from ...registry import (BACKBONES, DETECTORS, HEADS, MIDDLE_ENCODERS, NECKS,
 
 @DETECTORS.register('TransFusionDetector')
 class TransFusionDetector(nn.Module):
-    """LiDAR-branch detector; config keys mirror the reference model dict."""
+    """LiDAR (+ optional camera fusion) detector.
+
+    With img_backbone/img_neck configured and the head's fuse_img=True this
+    is the reference's simple LC variant (transfusion.py:18-215): FPN
+    level-0 image features feed the head's image cross-attention.
+    """
     pts_voxel_layer: Any = None
     pts_voxel_encoder: Any = None
     pts_middle_encoder: Any = None
     pts_backbone: Any = None
     pts_neck: Any = None
     pts_bbox_head: Any = None
+    img_backbone: Any = None
+    img_neck: Any = None
+    freeze_img: bool = True
     train_cfg: Any = None
     test_cfg: Any = None
 
@@ -37,6 +45,10 @@ class TransFusionDetector(nn.Module):
             dict(self.pts_middle_encoder))
         self.backbone = BACKBONES.build(dict(self.pts_backbone))
         self.neck = NECKS.build(dict(self.pts_neck)) if self.pts_neck else None
+        self.backbone_img = (BACKBONES.build(dict(self.img_backbone))
+                             if self.img_backbone else None)
+        self.neck_img = (NECKS.build(dict(self.img_neck))
+                         if self.img_neck else None)
         head_cfg = dict(self.pts_bbox_head)
         head_cfg['train_cfg'] = (dict(self.train_cfg['pts'])
                                  if self.train_cfg else None)
@@ -64,10 +76,23 @@ class TransFusionDetector(nn.Module):
             feats = self.neck(feats, train=train)
         return feats, encode_features
 
-    def __call__(self, points, points_mask, train: bool = False):
-        """points [B, N, F], points_mask [B, N] -> head predictions dict."""
+    def __call__(self, points, points_mask, img=None, metas=None,
+                 train: bool = False):
+        """points [B, N, F] (+ optional img [B, V, H, W, 3] and metas dict
+        with lidar2img) -> head predictions dict."""
         feats, _ = self.extract_pts_feat(points, points_mask, train=train)
-        return self.bbox_head(feats[0], train=train)
+        img_inputs = None
+        if img is not None and self.backbone_img is not None:
+            b, v = img.shape[:2]
+            img_train = train and not self.freeze_img
+            img_feats = self.backbone_img(
+                img.reshape(b * v, *img.shape[2:]), train=img_train)
+            if self.neck_img is not None:
+                img_feats = self.neck_img(img_feats, train=img_train)
+            lvl0 = img_feats[0]
+            img_inputs = lvl0.reshape(b, v, *lvl0.shape[1:])
+        return self.bbox_head(feats[0], img_inputs=img_inputs, metas=metas,
+                              train=train)
 
     def loss(self, preds, gt_bboxes, gt_labels, gt_valid):
         return self.bbox_head.loss(preds, gt_bboxes, gt_labels, gt_valid)

@@ -203,6 +203,9 @@ class TransFusionHead(nn.Module):
     loss_bbox: Any = None
     loss_heatmap: Any = None
     fuse_img: bool = False
+    num_views: int = 0
+    in_channels_img: int = 64
+    out_size_factor_img: int = 4
 
     def setup(self):
         self.coder = BBOX_CODERS.build(dict(self.bbox_coder))
@@ -232,6 +235,30 @@ class TransFusionHead(nn.Module):
                                      kernel_init=torch_conv_init)
         self.class_encoding = nn.Dense(self.hidden_channel,
                                        kernel_init=torch_conv_init)
+        if self.fuse_img:
+            # image-fusion extras (reference :712-745)
+            self.shared_conv_img = nn.Conv(
+                self.hidden_channel, (3, 3), padding=1, use_bias=True,
+                kernel_init=torch_conv_init)
+            self.heatmap_conv1_img = ConvModule(
+                self.hidden_channel, 3, padding=1, use_bias=True)
+            self.heatmap_conv2_img = nn.Conv(
+                self.num_classes, (3, 3), padding=1, use_bias=True,
+                kernel_init=torch_conv_init)
+            self.fc_collapsed = nn.Dense(self.hidden_channel,
+                                         kernel_init=torch_conv_init)
+            self._img_bev_decoders = [
+                TransformerDecoderLayer(
+                    self.hidden_channel, self.num_heads, self.ffn_channel,
+                    self.dropout, self.activation, cross_only=True,
+                    name=f'img_bev_decoder_{v}')
+                for v in range(self.num_views)]
+            self._img_fusion_decoder = TransformerDecoderLayer(
+                self.hidden_channel, self.num_heads, self.ffn_channel,
+                self.dropout, self.activation, name='img_fusion_decoder')
+            heads = dict(self.common_heads or {})
+            heads['heatmap'] = (self.num_classes, self.num_heatmap_convs)
+            self._pred_head_fused = FFNHead(heads, name='prediction_head_fused')
 
     def _bev_pos(self, h, w, dtype=jnp.float32):
         """[1, H*W, 2] cell-center grid (reference create_2D_grid :758-765)."""
@@ -241,16 +268,54 @@ class TransFusionHead(nn.Module):
 
     def __call__(self, inputs, img_inputs=None, metas=None,
                  train: bool = False):
-        """inputs: [B, H, W, C_in] fused BEV -> dict of [B, C, P*layers]."""
+        """inputs: [B, H, W, C_in] fused BEV -> dict of [B, C, P*layers].
+
+        With fuse_img=True, img_inputs is [B, V, h, w, C_img] and metas is a
+        dict with 'lidar2img' [B, V, 4, 4] and optional 'img_scale_factor'
+        (reference forward_single image branches, :817-1012).
+        """
         b, h, w, _ = inputs.shape
         lidar_feat = self.shared_conv(inputs)                # [B, H, W, hid]
         lidar_flat = lidar_feat.reshape(b, h * w, self.hidden_channel)
         bev_pos = jnp.broadcast_to(self._bev_pos(h, w), (b, h * w, 2))
 
+        img_feat = None
+        if self.fuse_img and img_inputs is not None:
+            v = img_inputs.shape[1]
+            ih, iw = img_inputs.shape[2:4]
+            img_feat = self.shared_conv_img(
+                img_inputs.reshape(b * v, ih, iw, -1))
+            img_feat = img_feat.reshape(b, v, ih, iw, self.hidden_channel)
+            # image-to-BEV: per-view cross-attn with height-collapsed
+            # image columns as keys (reference :817-834)
+            collapsed = jnp.max(img_feat, axis=2)            # [B, V, w, hid]
+            collapsed = self.fc_collapsed(collapsed)
+            bev_feat = lidar_flat
+            for vi in range(self.num_views):
+                col_x = jax.lax.broadcasted_iota(
+                    jnp.float32, (1, iw, 2), 1)[..., :1] + vi * iw + 0.5
+                col_pos = jnp.concatenate(
+                    [col_x, jnp.full((1, iw, 1), 0.5)], axis=-1)
+                col_pos = jnp.broadcast_to(col_pos, (b, iw, 2))
+                bev_feat = self._img_bev_decoders[vi](
+                    bev_feat, collapsed[:, vi], bev_pos, col_pos,
+                    train=train)
+            lidar_flat_fused = bev_feat
+        else:
+            lidar_flat_fused = None
+
         # heatmap query initialization
         x = self.heatmap_conv1(lidar_feat, train=train)
         dense_heatmap = self.heatmap_conv2(x)                # [B, H, W, C]
         heatmap = jax.nn.sigmoid(jax.lax.stop_gradient(dense_heatmap))
+        dense_heatmap_img = None
+        if lidar_flat_fused is not None:
+            xi = self.heatmap_conv1_img(
+                lidar_flat_fused.reshape(b, h, w, self.hidden_channel),
+                train=train)
+            dense_heatmap_img = self.heatmap_conv2_img(xi)
+            heatmap = (heatmap + jax.nn.sigmoid(
+                jax.lax.stop_gradient(dense_heatmap_img))) / 2.0
         flat_cls = ()
         if self.test_cfg is not None and \
                 self.test_cfg.get('dataset') == 'nuScenes':
@@ -280,7 +345,16 @@ class TransFusionHead(nn.Module):
                                            bev_pos, train=train)
             res = self._pred_heads[i](query_feat, train=train)
             res['center'] = res['center'] + query_pos
+            first_res = res
             query_pos = jax.lax.stop_gradient(res['center'])
+            if not (self.fuse_img and img_inputs is not None):
+                ret_layers.append(res)
+
+        on_image_any = None
+        if self.fuse_img and img_inputs is not None:
+            res, on_image_any = self._image_refinement(
+                query_feat, query_pos, first_res, img_feat, metas, h, w,
+                train=train)
             ret_layers.append(res)
 
         # concat aux layers along proposals, to channel-first [B, C, P]
@@ -288,6 +362,10 @@ class TransFusionHead(nn.Module):
         for key in ret_layers[0]:
             out[key] = jnp.concatenate(
                 [r[key].transpose(0, 2, 1) for r in ret_layers], axis=-1)
+        if dense_heatmap_img is not None:
+            dense_heatmap = dense_heatmap_img
+        if on_image_any is not None:
+            out['on_the_image'] = on_image_any
         out['dense_heatmap'] = dense_heatmap.transpose(0, 3, 1, 2)
         out['query_heatmap_score'] = jnp.take_along_axis(
             heatmap, jnp.broadcast_to(top_spatial[:, None, :],
@@ -295,6 +373,94 @@ class TransFusionHead(nn.Module):
                                        self.num_proposals)), axis=2)
         out['query_labels'] = top_classes
         return out
+
+    def _image_refinement(self, query_feat, query_pos, first_res, img_feat,
+                          metas, bev_h, bev_w, train: bool = False):
+        """Per-view image cross-attention refinement (reference :903-1012).
+
+        The reference loops samples and views with boolean indexing; here
+        every view processes all proposals batched, gaussian-masked
+        attention included, and off-image proposals fall back to the
+        lidar-only predictions via masks. Later views win ties like the
+        reference's sequential overwrite.
+        """
+        tc = self.test_cfg
+        b, v, ih, iw, hid = img_feat.shape
+        p = self.num_proposals
+        prev_query = jax.lax.stop_gradient(query_feat)
+
+        # decode current boxes for corner projection
+        dec = self.coder.decode(
+            jax.lax.stop_gradient(first_res['heatmap']).transpose(0, 2, 1),
+            jax.lax.stop_gradient(first_res['rot']).transpose(0, 2, 1),
+            jax.lax.stop_gradient(first_res['dim']).transpose(0, 2, 1),
+            jax.lax.stop_gradient(first_res['center']).transpose(0, 2, 1),
+            jax.lax.stop_gradient(first_res['height']).transpose(0, 2, 1),
+            None if 'vel' not in first_res else
+            jax.lax.stop_gradient(first_res['vel']).transpose(0, 2, 1))
+        boxes = dec['bboxes'][..., :7]                       # [B, P, 7]
+        from ...core.boxes import corners_3d
+        corners = jax.vmap(corners_3d)(boxes)                # [B, P, 8, 3]
+
+        centers_x = query_pos[..., 0] * tc['out_size_factor'] * \
+            tc['voxel_size'][0] + tc['pc_range'][0]
+        centers_y = query_pos[..., 1] * tc['out_size_factor'] * \
+            tc['voxel_size'][1] + tc['pc_range'][1]
+        centers = jnp.stack(
+            [centers_x, centers_y, first_res['height'][..., 0]], axis=-1)
+        pts = jnp.concatenate([centers[:, :, None, :], corners],
+                              axis=2)                        # [B, P, 9, 3]
+
+        lidar2img = metas['lidar2img']                       # [B, V, 4, 4]
+        scale = metas.get('img_scale_factor', jnp.ones((b, 2)))
+        hom = jnp.concatenate([pts, jnp.ones(pts.shape[:-1] + (1,))],
+                              axis=-1)                       # [B, P, 9, 4]
+        proj = jnp.einsum('bvij,bpkj->bvpki', lidar2img, hom)
+        depth = jnp.maximum(proj[..., 2], 1e-5)
+        uv = proj[..., :2] / depth[..., None]
+        uv = uv * scale[:, None, None, None, :]
+        img_h_pad = ih * self.out_size_factor_img
+        img_w_pad = iw * self.out_size_factor_img
+
+        ctr_uv = uv[:, :, :, 0, :]                           # [B, V, P, 2]
+        on_image = ((ctr_uv[..., 0] > 0) & (ctr_uv[..., 0] < img_w_pad) &
+                    (ctr_uv[..., 1] > 0) & (ctr_uv[..., 1] < img_h_pad))
+
+        corner_uv = uv[:, :, :, 1:, :] / self.out_size_factor_img
+        extent = (jnp.max(corner_uv, axis=3) -
+                  jnp.min(corner_uv, axis=3))                # [B, V, P, 2]
+        radius = jnp.ceil(jnp.linalg.norm(extent, axis=-1) / 2.0)
+        sigma = (radius * 2 + 1) / 6.0                       # [B, V, P]
+
+        feat_pos = self._bev_pos(ih, iw)                     # [1, ih*iw, 2]
+        centers_feat = ctr_uv / self.out_size_factor_img     # [B, V, P, 2]
+        d2 = jnp.sum(
+            (centers_feat[..., None, :].astype(jnp.int32).astype(jnp.float32)
+             - (feat_pos[None] - 0.5)[:, None]) ** 2, axis=-1)
+        gauss = jnp.exp(-d2 / (2 * sigma[..., None] ** 2))   # [B, V, P, hw]
+        attn_mask = jnp.log(jnp.maximum(gauss, 1e-30))
+
+        new_query = prev_query
+        assigned = jnp.full((b, p), -1, jnp.int32)
+        for vi in range(v):
+            refined = self._img_fusion_decoder(
+                prev_query, img_feat[:, vi].reshape(b, ih * iw, hid),
+                centers_feat[:, vi], jnp.broadcast_to(feat_pos,
+                                                      (b, ih * iw, 2)),
+                attn_mask=attn_mask[:, vi][:, None, :, :], train=train)
+            sel = on_image[:, vi]
+            new_query = jnp.where(sel[..., None], refined, new_query)
+            assigned = jnp.where(sel, vi, assigned)
+        on_any = assigned >= 0
+
+        fused = jnp.concatenate([new_query, prev_query], axis=-1)
+        res = self._pred_head_fused(fused, train=train)
+        res['center'] = res['center'] + query_pos
+        # off-image proposals keep the lidar-only predictions (:1009-1011)
+        for key in res:
+            res[key] = jnp.where(on_any[..., None], res[key],
+                                 first_res[key])
+        return res, on_any
 
     # ------------------------------------------------------------------
     # loss / targets
@@ -316,6 +482,13 @@ class TransFusionHead(nn.Module):
         (labels, label_weights, bbox_targets, bbox_weights, num_pos,
          matched_ious, heatmap_tgt) = self.get_targets(
              preds, gt_bboxes, gt_labels, gt_valid)
+        if 'on_the_image' in preds:
+            # image-fusion mode: only supervise proposals on some image
+            # (reference :1237-1240)
+            m = preds['on_the_image'].astype(label_weights.dtype)
+            label_weights = label_weights * m
+            bbox_weights = bbox_weights * m[..., None]
+            num_pos = jnp.sum(jnp.max(bbox_weights, axis=-1))
 
         loss_dict = {}
         clipped = jnp.clip(jax.nn.sigmoid(preds['dense_heatmap']), 1e-4,
