@@ -1,4 +1,5 @@
-from . import dbsampler, foreground, loading, transforms_3d  # noqa: F401
+from . import (dbsampler, foreground, loading, test_time_aug,
+               transforms_3d)  # noqa: F401
 from .loading import Compose
 
 __all__ = ['Compose']

@@ -1,2 +1,3 @@
 """Model zoo: importing this package populates the registries."""
-from . import backbones, detectors, heads, middle_encoders, necks, voxel_encoders  # noqa: F401
+from . import (backbones, detectors, fusion_layers, heads, middle_encoders,  # noqa: F401
+               necks, voxel_encoders)

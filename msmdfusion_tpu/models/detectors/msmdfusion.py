@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.sparse.tensor import make_sparse_tensor, to_dense_bev
-from ...ops.voxelize import voxelize_batch
+from ...ops.voxelize import voxelize_batch, voxelize_mean_batch
 from ...registry import (BACKBONES, DETECTORS, HEADS, MIDDLE_ENCODERS, NECKS,
                          VOXEL_ENCODERS)
 from ..layers import ConvModule, MLP, torch_conv_init
@@ -179,15 +179,14 @@ class MSMDFusionDetector(nn.Module):
         vl = self.pts_voxel_layer
         factor = self.downscale_factors[scale_idx]
         voxel_size = [s * factor for s in vl['voxel_size']]
-        voxels, num_points, coors, valid = voxelize_batch(
+        feats, coors, valid = voxelize_mean_batch(
             pcd, mask, voxel_size, vl['point_cloud_range'],
-            vl['max_num_points'], self.fg_max_voxels[scale_idx])
-        feats = hard_simple_vfe(voxels, num_points)
+            self.fg_max_voxels[scale_idx] * pcd.shape[0])
         norm = jnp.asarray([13.5, 13.5, 2.0], feats.dtype)
         feats = feats.at[:, :3].divide(norm)
         return make_sparse_tensor(
             feats, coors, valid, tuple(self.spatial_shapes[scale_idx]),
-            pcd.shape[0])
+            pcd.shape[0], assume_sorted=True)
 
     def extract_pts_feat(self, points, points_mask, img_feats, fg, input_hw,
                          train):
@@ -195,13 +194,13 @@ class MSMDFusionDetector(nn.Module):
         max_voxels = vl['max_voxels']
         if isinstance(max_voxels, (tuple, list)):
             max_voxels = max_voxels[0] if train else max_voxels[1]
-        voxels, num_points, coors, valid = voxelize_batch(
-            points, points_mask, vl['voxel_size'], vl['point_cloud_range'],
-            vl['max_num_points'], max_voxels)
-        voxel_features = self.voxel_encoder(voxels, num_points, coors)
         batch_size = points.shape[0]
+        voxel_features, coors, valid = voxelize_mean_batch(
+            points, points_mask, vl['voxel_size'], vl['point_cloud_range'],
+            max_voxels * batch_size)
         x, encode_features = self.middle_encoder(
-            voxel_features, coors, valid, batch_size, train=train)
+            voxel_features, coors, valid, batch_size, train=train,
+            assume_sorted=True)
 
         # multi-scale 2D-branch voxels (reference
         # extract_multiscale_voxel_feat, :400-418)

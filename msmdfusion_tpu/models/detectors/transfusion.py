@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.voxelize import voxelize_batch
+from ...ops.voxelize import voxelize_batch, voxelize_mean_batch
 from ...registry import (BACKBONES, DETECTORS, HEADS, MIDDLE_ENCODERS, NECKS,
                          VOXEL_ENCODERS)
 
@@ -65,12 +65,25 @@ class TransFusionDetector(nn.Module):
             vl['max_num_points'], max_voxels)
 
     def extract_pts_feat(self, points, points_mask, train: bool = False):
-        voxels, num_points, coors, valid = self.voxelize(
-            points, points_mask, train)
-        voxel_features = self.voxel_encoder(voxels, num_points, coors)
+        vl = self.pts_voxel_layer
         batch_size = points.shape[0]
-        x, encode_features = self.middle_encoder(
-            voxel_features, coors, valid, batch_size, train=train)
+        if self.pts_voxel_encoder['type'] == 'HardSimpleVFE':
+            # fused voxelize+mean (one sort, sorted rows)
+            max_voxels = vl['max_voxels']
+            if isinstance(max_voxels, (tuple, list)):
+                max_voxels = max_voxels[0] if train else max_voxels[1]
+            voxel_features, coors, valid = voxelize_mean_batch(
+                points, points_mask, vl['voxel_size'],
+                vl['point_cloud_range'], max_voxels * batch_size)
+            x, encode_features = self.middle_encoder(
+                voxel_features, coors, valid, batch_size, train=train,
+                assume_sorted=True)
+        else:
+            voxels, num_points, coors, valid = self.voxelize(
+                points, points_mask, train)
+            voxel_features = self.voxel_encoder(voxels, num_points, coors)
+            x, encode_features = self.middle_encoder(
+                voxel_features, coors, valid, batch_size, train=train)
         feats = self.backbone(x, train=train)
         if self.neck is not None:
             feats = self.neck(feats, train=train)

@@ -13,7 +13,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.voxelize import (dynamic_scatter, dynamic_voxelize, voxelize_batch)
+from ...ops.voxelize import (dynamic_scatter, dynamic_voxelize,
+                             voxelize_batch, voxelize_mean_batch)
 from ...registry import (BACKBONES, DETECTORS, HEADS, MIDDLE_ENCODERS, NECKS,
                          VOXEL_ENCODERS)
 
@@ -48,15 +49,24 @@ class _VoxelDetectorBase(nn.Module):
         max_voxels = vl['max_voxels']
         if isinstance(max_voxels, (tuple, list)):
             max_voxels = max_voxels[0] if train else max_voxels[1]
-        voxels, num_points, coors, valid = voxelize_batch(
-            points, points_mask, vl['voxel_size'], vl['point_cloud_range'],
-            vl['max_num_points'], max_voxels)
-        voxel_features = self.voxel_encoder(voxels, num_points, coors,
-                                            train=train) \
-            if 'Pillar' in self.pts_voxel_encoder['type'] \
-            else self.voxel_encoder(voxels, num_points, coors)
-        x = self.middle_encoder(voxel_features, coors, valid,
-                                points.shape[0], train=train)
+        batch_size = points.shape[0]
+        if self.pts_voxel_encoder['type'] == 'HardSimpleVFE':
+            voxel_features, coors, valid = voxelize_mean_batch(
+                points, points_mask, vl['voxel_size'],
+                vl['point_cloud_range'], max_voxels * batch_size)
+            x = self.middle_encoder(voxel_features, coors, valid,
+                                    batch_size, train=train,
+                                    assume_sorted=True)
+        else:
+            voxels, num_points, coors, valid = voxelize_batch(
+                points, points_mask, vl['voxel_size'],
+                vl['point_cloud_range'], vl['max_num_points'], max_voxels)
+            voxel_features = self.voxel_encoder(voxels, num_points, coors,
+                                                train=train) \
+                if 'Pillar' in self.pts_voxel_encoder['type'] \
+                else self.voxel_encoder(voxels, num_points, coors)
+            x = self.middle_encoder(voxel_features, coors, valid,
+                                    batch_size, train=train)
         if isinstance(x, tuple):
             x = x[0]
         feats = self.backbone(x, train=train)

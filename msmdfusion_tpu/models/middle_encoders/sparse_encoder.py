@@ -42,11 +42,16 @@ class SparseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, coors, valid, batch_size: int,
-                 train: bool = False):
-        """voxel_features [K, C], coors [K, 4] (b,z,y,x), valid [K]."""
+                 train: bool = False, assume_sorted: bool = False):
+        """voxel_features [K, C], coors [K, 4] (b,z,y,x), valid [K].
+
+        assume_sorted: rows already ascending in packed key (the fused
+        voxelize_mean_batch emits this order) — skips a 120k-row sort.
+        """
         assert self.block_type in ('conv_module', 'basicblock')
         st = make_sparse_tensor(voxel_features, coors, valid,
-                                tuple(self.sparse_shape), batch_size)
+                                tuple(self.sparse_shape), batch_size,
+                                assume_sorted=assume_sorted)
         cache: dict = {}
         st, cache = SparseConvBlock(
             self.base_channels, 3, padding=1, conv_type='SubMConv3d',

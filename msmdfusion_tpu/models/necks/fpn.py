@@ -16,6 +16,15 @@ from ...registry import NECKS
 from ..layers import torch_conv_init
 
 
+def _nearest_up2(x, target_shape):
+    """2x nearest upsample via broadcast-reshape, cropped to target H/W."""
+    b, h, w, c = x.shape
+    th, tw = target_shape[1], target_shape[2]
+    up = jnp.broadcast_to(x[:, :, None, :, None, :],
+                          (b, h, 2, w, 2, c)).reshape(b, 2 * h, 2 * w, c)
+    return up[:, :th, :tw]
+
+
 @NECKS.register('FPN')
 class FPN(nn.Module):
     in_channels: Sequence[int] = (256, 512, 1024, 2048)
@@ -30,10 +39,11 @@ class FPN(nn.Module):
                     kernel_init=torch_conv_init, name=f'lateral_{i}')(x)
             for i, x in enumerate(inputs)
         ]
-        # top-down pathway: nearest-neighbor upsample + add
+        # top-down pathway: nearest-neighbor upsample + add. Broadcast-
+        # reshape instead of jax.image.resize (whose gather lowering cost
+        # ~28ms for the whole FPN on v5e).
         for i in range(len(laterals) - 1, 0, -1):
-            up = jax.image.resize(laterals[i], laterals[i - 1].shape,
-                                  method='nearest')
+            up = _nearest_up2(laterals[i], laterals[i - 1].shape)
             laterals[i - 1] = laterals[i - 1] + up
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=True,

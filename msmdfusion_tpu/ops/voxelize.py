@@ -203,6 +203,74 @@ def dynamic_scatter(feats, coords_zyx, valid, grid_zyx: Tuple[int, int, int],
     return voxel_feats, coors, voxel_valid, point_slot
 
 
+def voxelize_mean_batch(points, point_mask, voxel_size, point_cloud_range,
+                        max_voxels_total: int):
+    """Fused batched voxelize + mean-VFE with key-sorted voxel ordering.
+
+    The fast path for HardSimpleVFE consumers: one stable argsort of packed
+    (b, z, y, x) keys over the whole batch, segment-mean of features, no
+    per-voxel point buffers and no arrival-order bookkeeping (the reference
+    semantics' first-come ordering only matters under max_voxels overflow —
+    here overflow drops the highest keys deterministically). Output rows are
+    ascending in key, so the sparse encoder can skip its own sort
+    (``assume_sorted=True``).
+
+    Args:
+        points: [B, N, F]; point_mask: [B, N].
+        max_voxels_total: global voxel capacity (across the batch).
+    Returns:
+        feats [V, F], coors [V, 4] (b,z,y,x), valid [V].
+    """
+    b, n, f = points.shape
+    flat = points.reshape(b * n, f)
+    mask = point_mask.reshape(b * n)
+    coords, in_range, _ = compute_voxel_coords(
+        flat, voxel_size, point_cloud_range)
+    vs = tuple(float(v) for v in voxel_size)
+    pcr = tuple(float(v) for v in point_cloud_range)
+    gz = int(round((pcr[5] - pcr[2]) / vs[2]))
+    gy = int(round((pcr[4] - pcr[1]) / vs[1]))
+    gx = int(round((pcr[3] - pcr[0]) / vs[0]))
+    assert b * gz * gy * gx < 2 ** 31
+    batch_ids = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0).reshape(-1)
+    valid_pt = in_range & mask
+    key = (batch_ids * gz + coords[:, 0]) * gy * gx + \
+        coords[:, 1] * gx + coords[:, 2]
+    key = jnp.where(valid_pt, key, INT_MAX)
+
+    order = jnp.argsort(key)
+    skey = key[order]
+    sorted_valid = skey != INT_MAX
+    head = jnp.concatenate(
+        [sorted_valid[:1], (skey[1:] != skey[:-1]) & sorted_valid[1:]])
+    slot = jnp.cumsum(head.astype(jnp.int32)) - 1
+    v = max_voxels_total
+    seg = jnp.where(sorted_valid & (slot < v), slot, v)
+
+    sorted_feats = flat[order]
+    sums = jax.ops.segment_sum(
+        jnp.where((seg < v)[:, None], sorted_feats, 0), seg,
+        num_segments=v + 1)[:v]
+    counts = jax.ops.segment_sum((seg < v).astype(jnp.float32), seg,
+                                 num_segments=v + 1)[:v]
+    feats = sums / jnp.maximum(counts[:, None], 1)
+    voxel_valid = counts > 0
+
+    out_keys = jnp.full((v + 1,), INT_MAX, jnp.int32)
+    out_keys = out_keys.at[jnp.where(head, slot, v)].set(skey, mode='drop')
+    out_keys = out_keys[:v]
+    xc = out_keys % gx
+    rest = out_keys // gx
+    yc = rest % gy
+    rest = rest // gy
+    zc = rest % gz
+    bc = rest // gz
+    coors = jnp.stack([bc, zc, yc, xc], axis=-1)
+    coors = jnp.where(voxel_valid[:, None], coors, -1)
+    feats = jnp.where(voxel_valid[:, None], feats, 0)
+    return feats, coors, voxel_valid
+
+
 def voxelize_batch(points, point_mask, voxel_size, point_cloud_range,
                    max_points: int, max_voxels: int):
     """Voxelize a batch and emit concatenated (b, z, y, x) coords.
