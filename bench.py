@@ -55,12 +55,15 @@ def main():
     for _ in range(5):
         out = jax.block_until_ready(forward(*args))
 
+    import numpy as np
     iters = 20
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = jax.block_until_ready(forward(*args))
-    dt = time.perf_counter() - t0
-    fps = iters / dt
+        times.append(time.perf_counter() - t0)
+    # median: robust to the tunneled chip's multi-tenant contention windows
+    fps = 1.0 / float(np.median(times))
 
     print(json.dumps({
         'metric': 'frames/sec/chip nuScenes E2E inference (MSMDFusion)',

@@ -1,6 +1,7 @@
 from .anchor3d_head import Anchor3DHead
 from .centerpoint_head import CenterHead, SeparateHead
+from .parta2_roi_head import PartAggregationROIHead
 from .transfusion_head import TransFusionHead
 from .vote_head import VoteHead
 
-__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'TransFusionHead', 'VoteHead']
+__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'PartAggregationROIHead', 'TransFusionHead', 'VoteHead']
