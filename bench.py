@@ -38,10 +38,17 @@ def main():
     from __graft_entry__ import _flagship_model, _synth_batch
 
     model, shape = _flagship_model('entry')
-    batch = _synth_batch(shape, b=1)
+    batch = _synth_batch(shape, b=int(os.environ.get('MSMD_BENCH_BATCH', 1)))
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), batch['points'], batch['points_mask'],
         batch['img'], batch['fg'])
+
+    if os.environ.get('MSMD_BF16'):
+        import jax.numpy as jnp
+        variables = dict(variables)
+        variables['params'] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
+            else x, variables['params'])
 
     @jax.jit
     def forward(points, points_mask, img, fg):
@@ -65,6 +72,8 @@ def main():
     # median: robust to the tunneled chip's multi-tenant contention windows
     fps = 1.0 / float(np.median(times))
 
+    batch_size = batch['points'].shape[0]
+    fps = fps * batch_size
     print(json.dumps({
         'metric': 'frames/sec/chip nuScenes E2E inference (MSMDFusion)',
         'value': round(fps, 3),

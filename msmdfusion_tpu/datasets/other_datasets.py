@@ -1,0 +1,87 @@
+"""Waymo / Lyft / ScanNet / SUNRGBD dataset readers.
+
+TPU-native equivalents of the remaining mmdet3d dataset zoo
+(waymo_dataset.py:574, lyft_dataset.py:517, scannet_dataset.py,
+sunrgbd_dataset.py): info-pkl backed readers sharing the Custom3DDataset
+machinery. Waymo reuses the KITTI-format info layout the reference
+converter emits; Lyft mirrors the nuScenes layout; the indoor sets read
+axis-aligned/depth-frame boxes.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from ..registry import DATASETS
+from .custom_3d import Custom3DDataset
+from .kitti import KittiDataset
+from .nuscenes import NuScenesDataset
+
+
+@DATASETS.register('WaymoDataset')
+class WaymoDataset(KittiDataset):
+    """Waymo in KITTI-format infos (reference waymo converter layout)."""
+    CLASSES = ('Car', 'Pedestrian', 'Cyclist')
+
+    def __init__(self, *args, load_interval=1, **kwargs):
+        super().__init__(*args, **kwargs)
+        if load_interval > 1:
+            self.data_infos = self.data_infos[::load_interval]
+
+    def evaluate(self, results, metric='bev', iou_thr=(0.7, 0.5, 0.5),
+                 **kwargs):
+        # LET-style / devkit evaluation needs waymo-open-dataset (not
+        # bundled); BEV AP-R40 is the built-in proxy.
+        return super().evaluate(results, metric=metric, iou_thr=iou_thr)
+
+
+@DATASETS.register('LyftDataset')
+class LyftDataset(NuScenesDataset):
+    """Lyft L5 (nuScenes-format infos; no velocity, 9 classes)."""
+    CLASSES = ('car', 'truck', 'bus', 'emergency_vehicle', 'other_vehicle',
+               'motorcycle', 'bicycle', 'pedestrian', 'animal')
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault('with_velocity', False)
+        super().__init__(*args, **kwargs)
+
+
+class _IndoorDataset(Custom3DDataset):
+    """Shared reader for depth-frame indoor infos (ScanNet/SUNRGBD)."""
+
+    def get_data_info(self, index):
+        info = self.data_infos[index]
+        pts_path = info.get('pts_path', info.get('lidar_path', ''))
+        return dict(sample_idx=info.get('point_cloud', {}).get(
+            'lidar_idx', index),
+            pts_filename=os.path.join(self.data_root, pts_path),
+            sweeps=[], timestamp=0)
+
+    def get_ann_info(self, index):
+        info = self.data_infos[index]
+        annos = info.get('annos', {})
+        boxes = np.asarray(annos.get('gt_boxes_upright_depth',
+                                     np.zeros((0, 7))), np.float32)
+        if boxes.shape[1] == 6:  # axis-aligned: add zero yaw
+            boxes = np.concatenate(
+                [boxes, np.zeros((len(boxes), 1), np.float32)], axis=1)
+        labels = np.asarray(annos.get('class', []), np.int64)
+        if len(labels) != len(boxes):
+            labels = np.zeros((len(boxes),), np.int64)
+        return dict(gt_bboxes_3d=boxes, gt_labels_3d=labels)
+
+
+@DATASETS.register('ScanNetDataset')
+class ScanNetDataset(_IndoorDataset):
+    CLASSES = ('cabinet', 'bed', 'chair', 'sofa', 'table', 'door', 'window',
+               'bookshelf', 'picture', 'counter', 'desk', 'curtain',
+               'refrigerator', 'showercurtrain', 'toilet', 'sink',
+               'bathtub', 'garbagebin')
+
+
+@DATASETS.register('SUNRGBDDataset')
+class SUNRGBDDataset(_IndoorDataset):
+    CLASSES = ('bed', 'table', 'sofa', 'chair', 'toilet', 'desk', 'dresser',
+               'night_stand', 'bookshelf', 'bathtub')

@@ -76,6 +76,10 @@ class MSMDFusionDetector(nn.Module):
     pts_bbox_head: Any = None
     train_cfg: Any = None
     test_cfg: Any = None
+    # 'bfloat16' runs the feature path (image branch, sparse encoders, BEV
+    # stack, head attention) in bf16; box decode upcasts to fp32. Cast the
+    # params tree to bf16 as well for full effect.
+    compute_dtype: str = 'float32'
 
     def setup(self):
         self.backbone_img = BACKBONES.build(dict(self.img_backbone))
@@ -108,6 +112,8 @@ class MSMDFusionDetector(nn.Module):
         """img [B, V, H, W, 3] -> FPN levels, each [B*V, h, w, 256]."""
         b, v = img.shape[0], img.shape[1]
         flat = img.reshape(b * v, *img.shape[2:])
+        if self.compute_dtype == 'bfloat16':
+            flat = flat.astype(jnp.bfloat16)
         img_train = train and not self.freeze_img
         feats = self.backbone_img(flat, train=img_train)
         return self.neck_img(feats, train=img_train)
@@ -198,6 +204,8 @@ class MSMDFusionDetector(nn.Module):
         voxel_features, coors, valid = voxelize_mean_batch(
             points, points_mask, vl['voxel_size'], vl['point_cloud_range'],
             max_voxels * batch_size)
+        if self.compute_dtype == 'bfloat16':
+            voxel_features = voxel_features.astype(jnp.bfloat16)
         x, encode_features = self.middle_encoder(
             voxel_features, coors, valid, batch_size, train=train,
             assume_sorted=True)

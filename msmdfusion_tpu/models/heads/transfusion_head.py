@@ -536,6 +536,9 @@ class TransFusionHead(nn.Module):
         b = gt_bboxes.shape[0]
         code_size = self.coder.code_size
 
+        preds = {k: (v.astype(jnp.float32)
+                     if hasattr(v, 'dtype') and v.dtype == jnp.bfloat16
+                     else v) for k, v in preds.items()}
         score = jax.lax.stop_gradient(preds['heatmap'])
         decoded = self.coder.decode(
             jax.lax.stop_gradient(score),
@@ -653,6 +656,9 @@ class TransFusionHead(nn.Module):
         rotated NMS variants live in core.nms for other configs).
         """
         p = self.num_proposals
+        preds = {k: (v.astype(jnp.float32)
+                     if hasattr(v, 'dtype') and v.dtype == jnp.bfloat16
+                     else v) for k, v in preds.items()}
         score = jax.nn.sigmoid(preds['heatmap'][..., -p:])   # [B, C, P]
         one_hot = jax.nn.one_hot(preds['query_labels'], self.num_classes,
                                  axis=1)                      # [B, C, P]

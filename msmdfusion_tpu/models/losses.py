@@ -68,3 +68,40 @@ def cross_entropy(logits, labels, num_classes: int):
     """[N, C] logits vs [N] int labels."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
+def chamfer_distance(src, dst, src_valid=None, dst_valid=None,
+                     criterion: str = 'l2'):
+    """Bidirectional chamfer distance between masked point sets.
+
+    TPU-native equivalent of mmdet3d/models/losses/chamfer_distance.py:146.
+    src [N, D], dst [M, D]. Returns (loss_src [N], loss_dst [M]).
+    """
+    d = jnp.sum((src[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+    if criterion == 'l1':
+        d = jnp.sqrt(jnp.maximum(d, 1e-12))
+    if dst_valid is not None:
+        d = jnp.where(dst_valid[None, :], d, 1e10)
+    loss_src = jnp.min(d, axis=1)
+    d2 = d if src_valid is None else jnp.where(src_valid[:, None], d, 1e10)
+    loss_dst = jnp.min(d2, axis=0)
+    if src_valid is not None:
+        loss_src = jnp.where(src_valid, loss_src, 0)
+    if dst_valid is not None:
+        loss_dst = jnp.where(dst_valid, loss_dst, 0)
+    return loss_src, loss_dst
+
+
+def axis_aligned_iou_loss(pred, target):
+    """1 - IoU of axis-aligned boxes (x1y1z1x2y2z2).
+
+    TPU-native equivalent of mmdet3d/models/losses/axis_aligned_iou_loss.py.
+    """
+    lo = jnp.maximum(pred[..., :3], target[..., :3])
+    hi = jnp.minimum(pred[..., 3:], target[..., 3:])
+    inter = jnp.prod(jnp.maximum(hi - lo, 0), axis=-1)
+    vol_p = jnp.prod(jnp.maximum(pred[..., 3:] - pred[..., :3], 0), axis=-1)
+    vol_t = jnp.prod(jnp.maximum(target[..., 3:] - target[..., :3], 0),
+                     axis=-1)
+    union = vol_p + vol_t - inter
+    return 1.0 - inter / jnp.maximum(union, 1e-8)
