@@ -37,7 +37,8 @@ def main():
     import jax
     from __graft_entry__ import _flagship_model, _synth_batch
 
-    model, shape = _flagship_model('entry')
+    scale = os.environ.get('MSMD_BENCH_SCALE', 'full')
+    model, shape = _flagship_model(scale)
     batch = _synth_batch(shape, b=int(os.environ.get('MSMD_BENCH_BATCH', 1)))
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), batch['points'], batch['points_mask'],
