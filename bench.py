@@ -57,7 +57,8 @@ def main():
                             train=False)
         return model.apply(variables, preds, method=type(model).get_bboxes)
 
-    args = (batch['points'], batch['points_mask'], batch['img'], batch['fg'])
+    args = jax.device_put((batch['points'], batch['points_mask'],
+                           batch['img'], batch['fg']))
     # warmup (compile + 5 steady, mirroring analysis_tools/benchmark.py)
     out = jax.block_until_ready(forward(*args))
     for _ in range(5):

@@ -51,16 +51,56 @@ def kernel_offsets(kernel_size) -> np.ndarray:
     return taps - center
 
 
+def _gather_x_triples(table, base_cells):
+    """Gather 3 consecutive table entries per base cell.
+
+    The x-axis is the minor dim of the packed key, so the (dx=-1,0,+1) taps
+    of one (dz, dy) group live at consecutive table addresses; fetching them
+    as one 3-wide slice cuts random DRAM accesses 3x (the lookup gathers are
+    latency-bound — 423ms of a 920ms full-scale forward before this).
+
+    base_cells: [K] int32 (cell of the dx=-1 tap, may be out of range).
+    Returns [K, 3] entries (garbage where base was out of range — callers
+    mask with the per-tap validity).
+    """
+    cells = table.shape[0]
+    safe = jnp.clip(base_cells, 0, cells - 3)
+
+    def slice3(i):
+        return jax.lax.dynamic_slice(table, (i,), (3,))
+
+    return jax.vmap(slice3)(safe)
+
+
 def build_subm_neighbor_table(st: SparseTensor, kernel_size) -> jax.Array:
     """Neighbor row table for a submanifold conv: [T, K] int32 (-1 missing).
 
     This is the TPU analog of the spconv subm rulebook; reuse it across all
     SubM convs sharing an ``indice_key``.
     """
+    kz, ky, kx = _triple(kernel_size)
     offsets = kernel_offsets(kernel_size)        # [T, 3]
     coords = st.coords                           # [K, 4]
     z, y, x = st.spatial_shape
     table = build_hash_table(st)
+
+    if table is not None and kx == 3:
+        # group taps by (dz, dy); fetch the x-triple with one sliced gather
+        zy_offsets = offsets.reshape(kz * ky, kx, 3)[:, 0, :2]  # [G, 2]
+        bounds = jnp.array([z, y, x])
+        rows_all = []
+        for g in range(zy_offsets.shape[0]):
+            dz, dy = int(zy_offsets[g, 0]), int(zy_offsets[g, 1])
+            nb_zy = coords[:, 1:3] + jnp.array([dz, dy])
+            zy_ok = st.valid & jnp.all(
+                (nb_zy >= 0) & (nb_zy < bounds[:2]), axis=-1)
+            base = st.keys + (dz * y + dy) * x - 1
+            triple = _gather_x_triples(table, base)          # [K, 3]
+            for j, dx in enumerate((-1, 0, 1)):
+                xs = coords[:, 3] + dx
+                ok = zy_ok & (xs >= 0) & (xs < x)
+                rows_all.append(jnp.where(ok, triple[:, j], -1))
+        return jnp.stack(rows_all)                           # [T, K]
 
     def one_tap(off):
         nb = jnp.concatenate(
@@ -100,13 +140,17 @@ def gather_gemm(feats: jax.Array, rows: jax.Array, weights: jax.Array,
     Returns: [K_out, Cout].
     """
     t, k_out = rows.shape
+    k_in = feats.shape[0]
     cin, cout = weights.shape[1], weights.shape[2]
     chunk = _tap_chunk(t, k_out, cin)
+    # zero-row trick: missing neighbors (-1) index a zero row instead of a
+    # [T, K, C] where-mask (saved ~35ms/iter at full scale)
+    feats_z = jnp.concatenate(
+        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    rows = jnp.where(rows < 0, k_in, rows)
     out = jnp.zeros((k_out, cout), jnp.float32)
     for start in range(0, t, chunk):
-        rows_c = rows[start:start + chunk]               # [tc, K]
-        gathered = jnp.take(feats, jnp.maximum(rows_c, 0), axis=0)
-        gathered = jnp.where((rows_c >= 0)[..., None], gathered, 0)
+        gathered = jnp.take(feats_z, rows[start:start + chunk], axis=0)
         out = out + jnp.einsum(
             'tkc,tcd->kd', gathered, weights[start:start + chunk],
             preferred_element_type=jnp.float32)
@@ -240,6 +284,27 @@ def build_conv_neighbor_table(st: SparseTensor, out_coords, out_valid,
     bound = jnp.array([z, y, x], jnp.int32)
 
     base = out_coords[:, 1:] * stride_a[None, :] - pad_a[None, :]  # [K, 3]
+    table = build_hash_table(st)
+
+    if table is not None and kx == 3:
+        # x-taps are consecutive input cells: fetch them as 3-wide slices
+        base_key = pack_keys(
+            jnp.concatenate([out_coords[:, :1], base], axis=-1),
+            st.spatial_shape, st.batch_size)
+        rows_all = []
+        for dz in range(kz):
+            for dy in range(ky):
+                zy = base[:, :2] + jnp.array([dz, dy])
+                zy_ok = out_valid & jnp.all(
+                    (zy >= 0) & (zy < bound[:2]), axis=-1)
+                start = base_key + (dz * y + dy) * x
+                triple = _gather_x_triples(table, start)
+                for dx in range(kx):
+                    xs = base[:, 2] + dx
+                    ok = zy_ok & (xs >= 0) & (xs < x)
+                    rows_all.append(jnp.where(ok, triple[:, dx], -1))
+        return jnp.stack(rows_all)
+
     in_zyx = base[None, :, :] + taps[:, None, :]                   # [T, K, 3]
     ok = out_valid[None, :] & jnp.all(
         (in_zyx >= 0) & (in_zyx < bound), axis=-1)
@@ -248,7 +313,6 @@ def build_conv_neighbor_table(st: SparseTensor, out_coords, out_valid,
     qcoords = jnp.concatenate([b, in_zyx], axis=-1).reshape(t * k_out, 4)
     qkeys = pack_keys(qcoords, st.spatial_shape, st.batch_size,
                       ok.reshape(-1))
-    table = build_hash_table(st)
     return lookup(st.keys, qkeys, table).reshape(t, k_out)
 
 
