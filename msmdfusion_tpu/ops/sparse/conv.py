@@ -55,21 +55,28 @@ def _gather_x_triples(table, base_cells):
     """Gather 3 consecutive table entries per base cell.
 
     The x-axis is the minor dim of the packed key, so the (dx=-1,0,+1) taps
-    of one (dz, dy) group live at consecutive table addresses; fetching them
-    as one 3-wide slice cuts random DRAM accesses 3x (the lookup gathers are
-    latency-bound — 423ms of a 920ms full-scale forward before this).
+    of one (dz, dy) group live at consecutive addresses in the 2D hash
+    table: fetch the two 16-lane rows that can contain them with vectorized
+    row gathers and select the 3 lanes with a one-hot VPU contraction.
+    Scalar/narrow gathers run at the gather engine's per-element rate
+    (~5 ns/element — 440ms/frame at full scale); 64-byte row gathers are
+    ~2 orders of magnitude faster.
 
     base_cells: [K] int32 (cell of the dx=-1 tap, may be out of range).
     Returns [K, 3] entries (garbage where base was out of range — callers
     mask with the per-tap validity).
     """
-    cells = table.shape[0]
-    safe = jnp.clip(base_cells, 0, cells - 3)
-
-    def slice3(i):
-        return jax.lax.dynamic_slice(table, (i,), (3,))
-
-    return jax.vmap(slice3)(safe)
+    lanes = table.shape[1]
+    num_rows = table.shape[0]
+    row = jnp.clip(base_cells // lanes, 0, num_rows - 2)
+    off = jnp.clip(base_cells - row * lanes, 0, 2 * lanes - 3)
+    vals = jnp.concatenate(
+        [jnp.take(table, row, axis=0), jnp.take(table, row + 1, axis=0)],
+        axis=-1)                                          # [K, 2*lanes]
+    idx3 = off[:, None] + jnp.arange(3, dtype=off.dtype)[None, :]  # [K, 3]
+    onehot = (idx3[:, :, None] ==
+              jnp.arange(2 * lanes, dtype=off.dtype)[None, None, :])
+    return jnp.sum(jnp.where(onehot, vals[:, None, :], 0), axis=-1)
 
 
 def build_subm_neighbor_table(st: SparseTensor, kernel_size) -> jax.Array:
