@@ -1,4 +1,4 @@
-from . import matching, sampling, voxelize  # noqa: F401
+from . import matching, sampling, scatter, voxelize  # noqa: F401
 from .sampling import (ball_query, furthest_point_sample, gather_points,
                        group_points, knn, points_in_boxes_batch,
                        roiaware_pool3d, three_interpolate, three_nn)
