@@ -46,7 +46,9 @@ class SubMConv3d(nn.Module):
         if table is None:
             table = build_subm_neighbor_table(st, self.kernel_size)
             cache[key] = table
-        return subm_conv(st, w, table, bias=b), cache
+        ks = self.kernel_size
+        kx = ks[2] if isinstance(ks, (tuple, list)) else ks
+        return subm_conv(st, w, table, bias=b, x_triples=(kx == 3)), cache
 
 
 class SparseConv3d(nn.Module):
