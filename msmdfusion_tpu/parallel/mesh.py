@@ -21,6 +21,13 @@ def data_parallel_mesh(n_devices: Optional[int] = None,
                        axis_name: str = 'data') -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f'data_parallel_mesh: requested {n_devices} devices but only '
+                f'{len(devices)} visible ({[d.platform for d in devices]}). '
+                'For a virtual CPU mesh set JAX_PLATFORMS=cpu and '
+                'XLA_FLAGS=--xla_force_host_platform_device_count=N before '
+                'the first jax import.')
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
