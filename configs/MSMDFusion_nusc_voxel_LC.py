@@ -20,6 +20,86 @@ img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
 fg_max_points_per_cam = 25000
 fg_real_max_points_per_cam = 20000
 
+class_names = [
+    'car', 'truck', 'construction_vehicle', 'bus', 'trailer', 'barrier',
+    'motorcycle', 'bicycle', 'pedestrian', 'traffic_cone'
+]
+dataset_type = 'NuScenesDataset'
+data_root = 'data/nuscenes/'
+max_points_per_sample = 300000
+
+# full multimodal train pipeline (reference MSMDFusion_nusc_voxel_LC.py:27-62)
+train_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
+         use_dim=[0, 1, 2, 3, 4]),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10,
+         use_dim=[0, 1, 2, 3, 4]),
+    dict(type='LoadAnnotations3D', with_bbox_3d=True, with_label_3d=True),
+    dict(type='LoadMultiViewImageFromFiles'),
+    dict(type='GlobalRotScaleTrans', rot_range=[-0.785, 0.785],
+         scale_ratio_range=[0.9, 1.1], translation_std=[0.5, 0.5, 0.5]),
+    dict(type='RandomFlip3D', sync_2d=False, flip_ratio_bev_horizontal=0.5,
+         flip_ratio_bev_vertical=0.5),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectNameFilter', classes=class_names),
+    dict(type='PointShuffle'),
+    # foreground-2D (MDU virtual point) pipeline
+    dict(type='LoadForeground2D', dataset=dataset_type),
+    dict(type='LoadForeground2DFromMultiSweeps', dataset=dataset_type,
+         sweeps_num=10),
+    dict(type='GlobalRotTransFilterForeground2D',
+         point_cloud_range=point_cloud_range),
+    dict(type='MyResize', img_scale=img_scale, keep_ratio=True),
+    dict(type='MyNormalize', **img_norm_cfg),
+    dict(type='MyPad', size_divisor=32),
+    dict(type='ImgScaleCropFlipForeground2D'),
+    dict(type='ShuffleForeground2D'),
+    dict(type='PadPoints', max_points=max_points_per_sample),
+    dict(type='PadGroundTruth', max_gt=500),
+    dict(type='PadForeground2D', max_points=fg_max_points_per_cam,
+         max_real_points=fg_real_max_points_per_cam),
+    dict(type='FormatBundle3D', class_names=class_names),
+]
+test_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
+         use_dim=[0, 1, 2, 3, 4]),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10,
+         use_dim=[0, 1, 2, 3, 4]),
+    dict(type='LoadMultiViewImageFromFiles'),
+    dict(type='LoadForeground2D', dataset=dataset_type),
+    dict(type='LoadForeground2DFromMultiSweeps', dataset=dataset_type,
+         sweeps_num=10),
+    dict(type='GlobalRotTransFilterForeground2D',
+         point_cloud_range=point_cloud_range),
+    dict(type='MyResize', img_scale=img_scale, keep_ratio=True),
+    dict(type='MyNormalize', **img_norm_cfg),
+    dict(type='MyPad', size_divisor=32),
+    dict(type='ImgScaleCropFlipForeground2D'),
+    dict(type='PadPoints', max_points=max_points_per_sample),
+    dict(type='PadForeground2D', max_points=fg_max_points_per_cam,
+         max_real_points=fg_real_max_points_per_cam),
+    dict(type='FormatBundle3D', class_names=class_names, with_label=False),
+]
+data = dict(
+    samples_per_gpu=2,
+    workers_per_gpu=4,
+    train=dict(
+        type='CBGSDataset',
+        dataset=dict(
+            type=dataset_type, data_root=data_root,
+            ann_file=data_root + 'nuscenes_infos_train.pkl',
+            pipeline=train_pipeline, classes=class_names,
+            modality=input_modality, test_mode=False, box_type_3d='LiDAR')),
+    val=dict(type=dataset_type, data_root=data_root,
+             ann_file=data_root + 'nuscenes_infos_val.pkl',
+             pipeline=test_pipeline, classes=class_names,
+             modality=input_modality, test_mode=True, box_type_3d='LiDAR'),
+    test=dict(type=dataset_type, data_root=data_root,
+              ann_file=data_root + 'nuscenes_infos_val.pkl',
+              pipeline=test_pipeline, classes=class_names,
+              modality=input_modality, test_mode=True, box_type_3d='LiDAR'))
+
 model = dict(
     type='MSMDFusionDetector',
     freeze_img=True,

@@ -27,6 +27,7 @@ train_pipeline = [
     dict(type='ObjectNameFilter', classes=class_names),
     dict(type='PointShuffle'),
     dict(type='PadPoints', max_points=max_points_per_sample),
+    dict(type='PadGroundTruth', max_gt=500),
     dict(type='FormatBundle3D', class_names=class_names),
 ]
 test_pipeline = [

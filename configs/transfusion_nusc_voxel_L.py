@@ -9,6 +9,55 @@ point_cloud_range = [-54.0, -54.0, -5.0, 54.0, 54.0, 3.0]
 voxel_size = [0.075, 0.075, 0.2]
 out_size_factor = 8
 
+class_names = [
+    'car', 'truck', 'construction_vehicle', 'bus', 'trailer', 'barrier',
+    'motorcycle', 'bicycle', 'pedestrian', 'traffic_cone'
+]
+data_root = 'data/nuscenes/'
+total_epochs = 20
+max_points_per_sample = 300000
+
+# stage-1 GT-paste recipe (reference transfusion_nusc_voxel_L.py:31-45);
+# stop_epoch implements the "fade" — the final 5 epochs train without
+# copy-paste (reference configs/nuscenes.md:7)
+db_sampler = dict(
+    data_root=data_root,
+    info_path=data_root + 'nuscenes_dbinfos_train.pkl',
+    rate=1.0,
+    prepare=dict(
+        filter_by_difficulty=[-1],
+        filter_by_min_points=dict(
+            car=5, truck=5, bus=5, trailer=5, construction_vehicle=5,
+            traffic_cone=5, barrier=5, motorcycle=5, bicycle=5,
+            pedestrian=5)),
+    classes=class_names,
+    sample_groups=dict(
+        car=2, truck=3, construction_vehicle=7, bus=4, trailer=6, barrier=2,
+        motorcycle=6, bicycle=6, pedestrian=2, traffic_cone=2))
+
+train_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
+         use_dim=[0, 1, 2, 3, 4]),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10,
+         use_dim=[0, 1, 2, 3, 4]),
+    dict(type='LoadAnnotations3D', with_bbox_3d=True, with_label_3d=True),
+    dict(type='ObjectSample', db_sampler=db_sampler,
+         stop_epoch=total_epochs - 5),
+    dict(type='GlobalRotScaleTrans', rot_range=[-0.785, 0.785],
+         scale_ratio_range=[0.9, 1.1], translation_std=[0.5, 0.5, 0.5]),
+    dict(type='RandomFlip3D', sync_2d=False, flip_ratio_bev_horizontal=0.5,
+         flip_ratio_bev_vertical=0.5),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectNameFilter', classes=class_names),
+    dict(type='PointShuffle'),
+    dict(type='PadPoints', max_points=max_points_per_sample),
+    dict(type='PadGroundTruth', max_gt=500),
+    dict(type='FormatBundle3D', class_names=class_names),
+]
+data = dict(
+    train=dict(dataset=dict(pipeline=train_pipeline)))
+
 model = dict(
     type='TransFusionDetector',
     pts_voxel_layer=dict(

@@ -125,12 +125,32 @@ class TrainState:
         return (self.params, self.batch_stats, self.opt_state, self.step)
 
 
-def make_train_step(model, tx, loss_keys=None, rng_key=None):
+def make_train_step(model, tx, loss_keys=None, rng_key=None,
+                    frozen_predicates=()):
     """Build a jittable train_step(params, batch_stats, opt_state, batch).
 
     The returned function computes the summed loss dict, applies gradients,
     and returns (new_params, new_batch_stats, new_opt_state, metrics).
+
+    frozen_predicates: BN running stats of matching subtrees are NOT
+    updated — the reference freezes BN statistics alongside the params when
+    fine-tuning (tools/train.py:185-219 puts frozen modules in eval mode),
+    so a loaded stage-1 checkpoint's stats must not drift.
     """
+
+    def _keep_frozen_stats(old_stats, new_stats):
+        if not frozen_predicates:
+            return new_stats
+
+        def select(path, new_leaf):
+            path_str = '/'.join(str(getattr(k, 'key', k)) for k in path)
+            if any(p in path_str for p in frozen_predicates):
+                node = old_stats
+                for k in path:
+                    node = node[getattr(k, 'key', k)]
+                return node
+            return new_leaf
+        return jax.tree_util.tree_map_with_path(select, new_stats)
 
     def train_step(params, batch_stats, opt_state, batch, step):
         def loss_fn(p):
@@ -151,6 +171,7 @@ def make_train_step(model, tx, loss_keys=None, rng_key=None):
 
         (total, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        new_bs = _keep_frozen_stats(batch_stats, new_bs)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         metrics = {k: v for k, v in losses.items()}

@@ -47,10 +47,13 @@ def _scale_iou(pred, gt):
 
 def accumulate_class(preds_by_sample: List[Dict[str, np.ndarray]],
                      gts_by_sample: List[Dict[str, np.ndarray]],
-                     class_id: int, dist_th: float):
+                     class_id: int, dist_th: float,
+                     yaw_period: float = 2 * np.pi):
     """Greedy match one class at one distance threshold.
 
     preds/gts per sample: dict with 'bboxes' [N, 7+], 'scores', 'labels'.
+    yaw_period: 2*pi for most classes, pi for barriers (devkit semantics —
+    a barrier flipped 180 degrees is the same barrier).
     Returns dict with ap and tp error means.
     """
     # flatten predictions with sample ids, sort by score desc
@@ -87,7 +90,7 @@ def accumulate_class(preds_by_sample: List[Dict[str, np.ndarray]],
             g = gts[best]
             errs['trans'].append(best_d)
             errs['scale'].append(1.0 - _scale_iou(box, g))
-            errs['orient'].append(_yaw_diff(box[6], g[6], np.pi))
+            errs['orient'].append(_yaw_diff(box[6], g[6], yaw_period))
             if box.shape[0] > 8 and g.shape[0] > 8:
                 errs['vel'].append(np.linalg.norm(box[7:9] - g[7:9]))
         else:
@@ -128,14 +131,15 @@ def evaluate_detections(preds_by_sample, gts_by_sample,
                'vel_err': []}
     for ci, name in enumerate(class_names):
         class_aps = []
+        period = np.pi if name in PERIOD_PI else 2 * np.pi
         for th in DIST_THRESHOLDS:
-            res = accumulate_class(preds_by_sample, gts_by_sample, ci, th)
+            res = accumulate_class(preds_by_sample, gts_by_sample, ci, th,
+                                   yaw_period=period)
             if res is None:
                 continue
             class_aps.append(res['ap'])
             if th == TP_THRESHOLD:
                 if name not in NO_ORIENTATION:
-                    period = np.pi if name in PERIOD_PI else 2 * np.pi
                     tp_errs['orient_err'].append(res['orient_err'])
                 if name not in NO_VELOCITY:
                     tp_errs['vel_err'].append(res['vel_err'])

@@ -45,7 +45,15 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
+
+    def set_epoch(self, epoch: int):
+        """Deterministic per-epoch shuffle (DistributedSampler.set_epoch
+        semantics) so a resumed run sees the order a fresh run would."""
+        self.rng = np.random.RandomState(self.seed + epoch)
+        if hasattr(self.dataset, 'set_epoch'):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.dataset)

@@ -120,12 +120,13 @@ class NuScenesDataset(Custom3DDataset):
                 name = self.CLASSES[int(label)]
                 center = box[:3].copy()
                 center[2] += box[5] / 2  # bottom -> gravity for submission
-                quat_l2e = _quat_from_matrix(_quat_to_matrix(l2e_r))
-                # rotate into ego then global
+                # full-quaternion LiDAR -> ego -> global composition
+                # (reference lidar_nusc_box_to_global composes Quaternions;
+                # summing yaws would drop the roll/pitch of lidar2ego)
                 center = _quat_to_matrix(l2e_r) @ center + l2e_t
                 center = _quat_to_matrix(e2g_r) @ center + e2g_t
-                yaw = float(box[6])
-                yaw += _yaw_of_quat(l2e_r) + _yaw_of_quat(e2g_r)
+                rot = _quat_mul(e2g_r,
+                                _quat_mul(l2e_r, _yaw_to_quat(float(box[6]))))
                 vel = np.zeros(3)
                 if box.shape[0] > 8:
                     vel[:2] = box[7:9]
@@ -135,7 +136,7 @@ class NuScenesDataset(Custom3DDataset):
                     sample_token=token,
                     translation=center.tolist(),
                     size=[float(box[3]), float(box[4]), float(box[5])],
-                    rotation=_yaw_to_quat(yaw).tolist(),
+                    rotation=np.asarray(rot, float).tolist(),
                     velocity=vel[:2].tolist(),
                     detection_name=name,
                     detection_score=float(score),
@@ -156,19 +157,37 @@ class NuScenesDataset(Custom3DDataset):
         res_path = self.format_results(results, jsonfile_prefix)
         try:
             from nuscenes import NuScenes
+            from nuscenes.eval.detection.config import config_factory
             from nuscenes.eval.detection.evaluate import NuScenesEval
         except ImportError:
-            return {'warning': 'nuscenes-devkit unavailable; submission '
-                    f'written to {res_path}'}
-        # devkit evaluation path (reference :368-385)
+            # devkit absent: run the native mAP/NDS implementation against
+            # the dataset's own GT (core/evaluation/nuscenes_metrics.py)
+            return self._evaluate_native(results)
+        # devkit evaluation path (reference nuscenes_dataset.py:368-385;
+        # NuScenesEval requires a DetectionConfig, built via config_factory)
         nusc = NuScenes(version=self.metadata.get('version', 'v1.0-trainval'),
                         dataroot=self.data_root, verbose=False)
         eval_set = 'val'
         nusc_eval = NuScenesEval(
-            nusc, config=None, result_path=res_path, eval_set=eval_set,
+            nusc, config=config_factory(self.eval_version),
+            result_path=res_path, eval_set=eval_set,
             output_dir=os.path.dirname(res_path) or '.', verbose=False)
         metrics = nusc_eval.main(render_curves=False)
         return metrics
+
+    def _evaluate_native(self, results):
+        """Native (devkit-free) nuScenes detection metrics on LiDAR-frame
+        boxes: mAP over the 4 distance thresholds + TP errors + NDS."""
+        from ..core.evaluation.nuscenes_metrics import evaluate_detections
+        gts, dets = [], []
+        for idx, det in enumerate(results):
+            ann = self.get_ann_info(idx)
+            gts.append(dict(bboxes=ann['gt_bboxes_3d'],
+                            labels=ann['gt_labels_3d']))
+            dets.append(dict(bboxes=np.asarray(det['bboxes']),
+                             scores=np.asarray(det['scores']),
+                             labels=np.asarray(det['labels'])))
+        return evaluate_detections(dets, gts, class_names=list(self.CLASSES))
 
 
 def _quat_to_matrix(q):
@@ -198,3 +217,15 @@ def _yaw_of_quat(q):
 
 def _yaw_to_quat(yaw):
     return np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+
+
+def _quat_mul(a, b):
+    """Hamilton product of [w, x, y, z] quaternions (a then b applied)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])

@@ -75,9 +75,11 @@ def _bev_overlap_any(boxes_a, boxes_b):
 
 class DataBaseSampler:
     def __init__(self, info_path, data_root, rate, prepare, sample_groups,
-                 classes=None, points_loader=None):
+                 classes=None, points_loader=None, load_dim=5):
         self.data_root = data_root
         self.rate = rate
+        self.load_dim = (points_loader or {}).get('load_dim', load_dim) \
+            if isinstance(points_loader, dict) else load_dim
         self.classes = classes
         self.cat2label = {c: i for i, c in enumerate(classes or [])}
         with open(info_path, 'rb') as f:
@@ -125,7 +127,7 @@ class DataBaseSampler:
                 path = os.path.join(self.data_root, info['path'])
                 try:
                     pts = np.fromfile(path, dtype=np.float32).reshape(
-                        -1, 5 if 'nuscenes' in path.lower() else 4)
+                        -1, self.load_dim)
                 except (FileNotFoundError, ValueError):
                     continue
                 pts = pts.copy()

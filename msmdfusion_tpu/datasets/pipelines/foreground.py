@@ -181,15 +181,16 @@ class PadForeground2D:
     """Fixed-capacity per-camera padding -> the device-side fg dict."""
 
     def __init__(self, max_points: int = 25000, max_real_points: int = 20000,
-                 point_dim: int = 15):
+                 point_dim: int = 15, num_cams: int = NUM_CAMS):
         self.max_points = max_points
         self.max_real = max_real_points
         self.point_dim = point_dim
+        self.num_cams = num_cams
 
     def _pad(self, arrays, cap, dim):
-        out = np.zeros((NUM_CAMS, cap, dim), np.float32)
-        mask = np.zeros((NUM_CAMS, cap), bool)
-        for cam, arr in enumerate(arrays[:NUM_CAMS]):
+        out = np.zeros((self.num_cams, cap, dim), np.float32)
+        mask = np.zeros((self.num_cams, cap), bool)
+        for cam, arr in enumerate(arrays[:self.num_cams]):
             n = min(len(arr), cap)
             if n:
                 out[cam, :n, :min(arr.shape[1], dim)] = \
@@ -208,6 +209,6 @@ class PadForeground2D:
             fg_pixels=pix, fg_points=pts, fg_mask=mask,
             fg_real_pixels=real_pix, fg_real_mask=real_mask,
             lidar2img=np.asarray(results.get(
-                'lidar2img', np.eye(4)[None].repeat(NUM_CAMS, 0)),
+                'lidar2img', np.eye(4)[None].repeat(self.num_cams, 0)),
                 np.float32))
         return results

@@ -133,6 +133,112 @@ class LoadMultiViewImageFromFiles:
         return results
 
 
+@PIPELINES.register('MyResize')
+@PIPELINES.register('ImageResize')
+class ImageResize:
+    """Resize the multi-view image stack, recording ``scale_factor``.
+
+    Equivalent of the reference's ``MyResize`` (mmdet3d/datasets/pipelines/
+    loading.py:11-312) in single-scale keep_ratio mode: the rescale factor is
+    ``min(max(scale)/max(h,w), min(scale)/min(h,w))`` (mmcv imrescale), and
+    ``scale_factor = [w_scale, h_scale, w_scale, h_scale]`` is stored for the
+    foreground pixel replay (``ImgScaleCropFlipForeground2D``).
+    """
+
+    def __init__(self, img_scale=None, keep_ratio=True, multiscale_mode=None,
+                 ratio_range=None, bbox_clip_border=True, backend=None):
+        self.img_scale = tuple(img_scale)
+        self.keep_ratio = keep_ratio
+
+    def _target_hw(self, h, w):
+        if self.keep_ratio:
+            f = min(max(self.img_scale) / max(h, w),
+                    min(self.img_scale) / min(h, w))
+            return int(h * f + 0.5), int(w * f + 0.5)
+        return min(self.img_scale), max(self.img_scale)
+
+    @staticmethod
+    def _resize(img, new_h, new_w):
+        try:
+            from PIL import Image
+            out = np.stack([
+                np.asarray(Image.fromarray(
+                    im.astype(np.uint8) if im.dtype != np.uint8 else im
+                ).resize((new_w, new_h), Image.BILINEAR)) for im in img])
+            return out.astype(img.dtype) if img.dtype != np.uint8 else out
+        except ImportError:  # pragma: no cover - PIL is available in CI
+            ys = (np.arange(new_h) * img.shape[1] / new_h).astype(int)
+            xs = (np.arange(new_w) * img.shape[2] / new_w).astype(int)
+            return img[:, ys][:, :, xs]
+
+    def __call__(self, results):
+        img = results['img']                     # [V, H, W, 3]
+        h, w = img.shape[1:3]
+        new_h, new_w = self._target_hw(h, w)
+        results['img'] = self._resize(img, new_h, new_w)
+        w_scale, h_scale = new_w / w, new_h / h
+        results['img_shape'] = results['img'].shape[1:]
+        results['scale_factor'] = np.array(
+            [w_scale, h_scale, w_scale, h_scale], np.float32)
+        results['keep_ratio'] = self.keep_ratio
+        return results
+
+
+@PIPELINES.register('MyNormalize')
+@PIPELINES.register('ImageNormalize')
+class ImageNormalize:
+    """Normalize the multi-view image stack (reference ``MyNormalize``,
+    loading.py:313-354).
+
+    ``to_rgb`` in the reference converts mmcv's BGR load order to RGB; our
+    loader (PIL) already yields RGB, so the flag is a no-op kept for config
+    parity — the mean/std below are RGB-order values either way.
+    """
+
+    def __init__(self, mean, std, to_rgb=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results):
+        img = results['img'].astype(np.float32)
+        results['img'] = (img - self.mean) / self.std
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
+                                       to_rgb=self.to_rgb)
+        return results
+
+
+@PIPELINES.register('MyPad')
+@PIPELINES.register('ImagePad')
+class ImagePad:
+    """Zero-pad images to a size divisor / fixed size (reference ``MyPad``,
+    loading.py:355-428)."""
+
+    def __init__(self, size=None, size_divisor=None, pad_val=0):
+        assert (size is None) != (size_divisor is None)
+        self.size = size
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val
+
+    def __call__(self, results):
+        img = results['img']
+        h, w = img.shape[1:3]
+        if self.size_divisor is not None:
+            d = self.size_divisor
+            ph, pw = -(-h // d) * d, -(-w // d) * d
+        else:
+            ph, pw = self.size
+        if (ph, pw) != (h, w):
+            out = np.full((img.shape[0], ph, pw, img.shape[3]),
+                          self.pad_val, img.dtype)
+            out[:, :h, :w] = img
+            results['img'] = out
+        results['pad_shape'] = results['img'].shape[1:]
+        results['pad_fixed_size'] = self.size
+        results['pad_size_divisor'] = self.size_divisor
+        return results
+
+
 @PIPELINES.register('PadPoints')
 class PadPoints:
     """Pad/crop the point cloud to a fixed capacity with a validity mask."""
@@ -200,7 +306,8 @@ class FormatBundle3D:
         out['metas'] = {
             k: results[k] for k in
             ('sample_idx', 'pts_filename', 'token', 'timestamp',
-             'lidar2img', 'flip_state', 'aug_state')
+             'lidar2img', 'flip_state', 'aug_state', 'scale_factor',
+             'img_shape', 'ori_shape', 'pad_shape', 'img_norm_cfg')
             if k in results}
         return out
 

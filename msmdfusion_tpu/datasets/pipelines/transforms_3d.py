@@ -170,15 +170,25 @@ class ObjectSample:
     Reference transforms_3d.py:122 + dbsampler.py:12-316.
     """
 
-    def __init__(self, db_sampler, sample_2d=False):
+    def __init__(self, db_sampler, sample_2d=False, stop_epoch=None):
         from .dbsampler import DataBaseSampler
         if isinstance(db_sampler, dict):
             db_sampler = DataBaseSampler(**{k: v for k, v in
                                             db_sampler.items()
                                             if k != 'type'})
         self.db_sampler = db_sampler
+        # "fade": disable GT-paste for the final epochs (reference
+        # configs/nuscenes.md:7 — stage-1 trains the last epochs without
+        # copy-paste so the detector sees the true data distribution)
+        self.stop_epoch = stop_epoch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
 
     def __call__(self, results):
+        if self.stop_epoch is not None and self.epoch >= self.stop_epoch:
+            return results
         sampled = self.db_sampler.sample_all(
             results['gt_bboxes_3d'], results['gt_labels_3d'])
         if sampled is None:

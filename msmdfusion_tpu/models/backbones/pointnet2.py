@@ -31,14 +31,18 @@ class PointSAModule(nn.Module):
     norm_momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, xyz, features, valid, train: bool = False):
+    def __call__(self, xyz, features, valid, train: bool = False,
+                 new_xyz=None, new_valid=None):
         """xyz [N, 3], features [N, C] or None, valid [N].
 
+        new_xyz/new_valid: aggregate around these query points instead of
+        FPS-sampling them (3DSSD aggregates around shifted candidates).
         Returns (new_xyz [S, 3], new_features [S, C'], new_valid [S]).
         """
-        idx = furthest_point_sample(xyz, self.num_point, valid)
-        new_xyz = jnp.take(xyz, idx, axis=0)
-        new_valid = jnp.take(valid, idx)
+        if new_xyz is None:
+            idx = furthest_point_sample(xyz, self.num_point, valid)
+            new_xyz = jnp.take(xyz, idx, axis=0)
+            new_valid = jnp.take(valid, idx)
 
         group_idx = ball_query(self.radius, self.num_sample, xyz, new_xyz,
                                xyz_valid=valid)            # [S, K]
@@ -85,6 +89,88 @@ class PointFPModule(nn.Module):
                 x, mask=target_valid, train=train)
             x = jnp.maximum(x, 0)
         return jnp.where(target_valid[:, None], x, 0)
+
+
+class PointSAModuleMSG(nn.Module):
+    """Multi-scale grouping SA: several radii, concatenated pooled features.
+
+    Reference: mmdet3d/ops/pointnet_modules/point_sa_module.py (MSG path)
+    used by pointnet2_sa_msg.py:162 (3DSSD backbone).
+    """
+    num_point: int
+    radii: Sequence[float]
+    num_samples: Sequence[int]
+    mlp_channels: Sequence[Sequence[int]]
+    norm_eps: float = 1e-5
+    norm_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, xyz, features, valid, train: bool = False):
+        idx = furthest_point_sample(xyz, self.num_point, valid)
+        new_xyz = jnp.take(xyz, idx, axis=0)
+        new_valid = jnp.take(valid, idx)
+        pooled_all = []
+        for s, (radius, k, mlp) in enumerate(
+                zip(self.radii, self.num_samples, self.mlp_channels)):
+            group_idx = ball_query(radius, k, xyz, new_xyz, xyz_valid=valid)
+            grouped_xyz = group_points(xyz, group_idx) - new_xyz[:, None, :]
+            parts = [grouped_xyz]
+            if features is not None:
+                parts.append(group_points(features, group_idx))
+            x = jnp.concatenate(parts, axis=-1)
+            member = group_idx >= 0
+            for i, c in enumerate(mlp):
+                x = nn.Dense(c, use_bias=False, kernel_init=torch_conv_init,
+                             name=f'mlp_{s}_{i}')(x)
+                x = MaskedBatchNorm(momentum=self.norm_momentum,
+                                    eps=self.norm_eps, name=f'bn_{s}_{i}')(
+                    x, mask=member, train=train)
+                x = jnp.maximum(x, 0)
+            x = jnp.where(member[..., None], x, -jnp.inf)
+            pooled = jnp.max(x, axis=1)
+            pooled = jnp.where(jnp.isfinite(pooled), pooled, 0)
+            pooled_all.append(pooled)
+        out = jnp.concatenate(pooled_all, axis=-1)
+        return new_xyz, jnp.where(new_valid[:, None], out, 0), new_valid
+
+
+@BACKBONES.register('PointNet2SAMSG')
+class PointNet2SAMSG(nn.Module):
+    """Multi-scale-grouping PointNet++ (3DSSD backbone, no FP decoding).
+
+    Reference: mmdet3d/models/backbones/pointnet2_sa_msg.py:162. Returns the
+    last SA level as the head's working point set.
+    """
+    in_channels: int = 4
+    num_points: Sequence[int] = (4096, 512, 256)
+    radii: Sequence[Sequence[float]] = (
+        (0.2, 0.4, 0.8), (0.4, 0.8, 1.6), (1.6, 3.2, 4.8))
+    num_samples: Sequence[Sequence[int]] = (
+        (32, 32, 64), (32, 32, 32), (32, 32, 32))
+    sa_channels: Sequence[Sequence[Sequence[int]]] = (
+        ((16, 16, 32), (16, 16, 32), (32, 32, 64)),
+        ((64, 64, 128), (64, 64, 128), (64, 96, 128)),
+        ((128, 128, 256), (128, 192, 256), (128, 256, 256)))
+
+    @nn.compact
+    def __call__(self, points, points_mask, train: bool = False):
+        sa_modules = [
+            PointSAModuleMSG(self.num_points[i], self.radii[i],
+                             self.num_samples[i], self.sa_channels[i],
+                             name=f'sa_{i}')
+            for i in range(len(self.num_points))]
+
+        def single(pts, mask):
+            xyz = pts[:, :3]
+            feats = pts[:, 3:] if pts.shape[1] > 3 else None
+            v = mask
+            for mod in sa_modules:
+                xyz, feats, v = mod(xyz, feats, v, train=train)
+            return dict(fp_xyz=xyz, fp_features=feats, fp_valid=v)
+
+        outs = [single(points[i], points_mask[i])
+                for i in range(points.shape[0])]
+        return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
 
 
 @BACKBONES.register('PointNet2SASSG')

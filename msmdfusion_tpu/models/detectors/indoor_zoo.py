@@ -34,12 +34,74 @@ from .votenet import VoteNet
 
 @DETECTORS.register('SSD3DNet')
 class SSD3DNet(VoteNet):
-    """3DSSD-style single-stage point detector (simplified head)."""
+    """3DSSD single-stage point detector.
+
+    Reference mmdet3d/models/detectors/ssd3dnet.py: PointNet2SAMSG backbone
+    + SSD3DHead (F-FPS candidates, spatial shift, centerness targets,
+    corner loss — heads/ssd3d_head.py). Assembly is VoteNet-shaped.
+    """
 
 
 @DETECTORS.register('H3DNet')
-class H3DNet(VoteNet):
-    """H3DNet structural port (primitive branches folded into the head)."""
+class H3DNet(nn.Module):
+    """H3DNet: VoteNet proposals + geometric-primitive refinement.
+
+    Reference mmdet3d/models/detectors/h3dnet.py (+ primitive_head.py:967,
+    h3d_bbox_head.py:932): a backbone feeds (a) a VoteHead for initial
+    proposals, (b) three PrimitiveHeads (z/xy/line face+edge centers), and
+    an H3DBboxHead matches predicted primitives against each proposal's
+    expected primitive locations to refine boxes and rescore objectness.
+    The reference runs 4 backbone towers; here one shared backbone feeds
+    all heads (documented simplification).
+    """
+    backbone: Any = None
+    bbox_head: Any = None         # VoteHead config (initial proposals)
+    primitive_list: Any = None    # list of PrimitiveHead configs
+    refine_head: Any = None       # H3DBboxHead config
+    train_cfg: Any = None
+    test_cfg: Any = None
+
+    def setup(self):
+        self.backbone_net = BACKBONES.build(dict(self.backbone))
+        head_cfg = dict(self.bbox_head)
+        head_cfg['train_cfg'] = dict(self.train_cfg) if self.train_cfg \
+            else None
+        head_cfg['test_cfg'] = dict(self.test_cfg) if self.test_cfg else None
+        self.head = HEADS.build(head_cfg)
+        prim_cfgs = self.primitive_list or [
+            dict(type='PrimitiveHead', primitive_mode=m)
+            for m in ('z', 'xy', 'line')]
+        self.primitive_heads = [HEADS.build(dict(c)) for c in prim_cfgs]
+        self.refine = HEADS.build(dict(
+            self.refine_head or dict(type='H3DBboxHead')))
+
+    def __call__(self, points, points_mask, train: bool = False):
+        feat_dict = self.backbone_net(points, points_mask, train=train)
+        vote_preds = self.head(feat_dict, train=train)
+        primitives = {}
+        for ph in self.primitive_heads:
+            primitives.update(ph(feat_dict, train=train))
+        proposals = self.head.get_bboxes(vote_preds)
+        refine_preds = self.refine(proposals, primitives, train=train)
+        return dict(vote=vote_preds, primitives=primitives,
+                    refine=refine_preds)
+
+    def loss(self, preds, gt_bboxes, gt_labels, gt_valid):
+        losses = self.head.loss(preds['vote'], gt_bboxes, gt_labels,
+                                gt_valid)
+        for ph in self.primitive_heads:
+            losses.update(ph.loss(preds['primitives'], gt_bboxes, gt_valid))
+        losses.update(self.refine.loss(preds['refine'], gt_bboxes,
+                                       gt_labels, gt_valid))
+        return losses
+
+    def get_bboxes(self, preds):
+        out = self.head.get_bboxes(preds['vote'])
+        refine = preds['refine']
+        obj = jax.nn.softmax(refine['refine_obj'], -1)[..., 1]
+        return dict(bboxes=refine['refined_bboxes'],
+                    scores=out['scores'] * obj, labels=out['labels'],
+                    valid=refine['refine_valid'])
 
 
 @DETECTORS.register('ImVoteNet')
@@ -165,19 +227,20 @@ class MVXFasterRCNN(nn.Module):
             origin = jnp.asarray(vl['point_cloud_range'][:3])
             centers = (coors[:, 1:][:, ::-1].astype(jnp.float32) + 0.5) * \
                 vs + origin
+            # fuse once per sample (projection matrices differ), then pick
+            # each voxel row's own sample via its batch id — a clean batched
+            # formulation of the reference's per-sample PointFusion loop
+            # (point_fusion.py:306)
             per_view = [f.reshape(b, v, *f.shape[1:]) for f in feats]
-            fused = []
-            for bi in range(b):
-                sel = coors[:, 0] == bi
-                fused.append(self.fusion(
-                    [pv[bi] for pv in per_view], centers, voxel_features,
-                    metas['lidar2img'][bi], img_hw, train=train))
-            voxel_features = jnp.where(valid[:, None], fused[0], 0) if b == 1 \
-                else voxel_features + 0 * voxel_features  # b>1: per-row mix
-            if b > 1:
-                mixed = jnp.stack(fused)                  # [B, K, C]
-                batch_sel = jax.nn.one_hot(coors[:, 0], b, axis=0)
-                voxel_features = jnp.einsum('bk,bkc->kc', batch_sel, mixed)
+            fused = jnp.stack([
+                self.fusion([pv[bi] for pv in per_view], centers,
+                            voxel_features, metas['lidar2img'][bi], img_hw,
+                            train=train)
+                for bi in range(b)])                      # [B, K, C]
+            row_batch = jnp.clip(coors[:, 0], 0, b - 1)
+            voxel_features = jnp.take_along_axis(
+                fused, row_batch[None, :, None], axis=0)[0]
+            voxel_features = jnp.where(valid[:, None], voxel_features, 0)
         x = self.middle_encoder(voxel_features, coors, valid,
                                 points.shape[0], train=train)
         if isinstance(x, tuple):

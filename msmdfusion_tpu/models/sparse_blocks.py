@@ -15,8 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.sparse.conv import (build_subm_neighbor_table, downsample_out_coords,
-                               kernel_offsets, sparse_conv, subm_conv)
+from ..ops.sparse.conv import downsample_out_coords, kernel_offsets
+from ..ops.sparse.matchconv import (apply_match_conv, build_downsample_plan,
+                                    build_subm_plan)
 from ..ops.sparse.tensor import SparseTensor
 from .layers import MaskedBatchNorm, get_activation, torch_conv_init
 
@@ -42,13 +43,13 @@ class SubMConv3d(nn.Module):
         b = self.param('bias', nn.initializers.zeros,
                        (self.out_channels,)) if self.use_bias else None
         key = ('subm', self.indice_key or f'auto_{self.name}')
-        table = cache.get(key)
-        if table is None:
-            table = build_subm_neighbor_table(st, self.kernel_size)
-            cache[key] = table
-        ks = self.kernel_size
-        kx = ks[2] if isinstance(ks, (tuple, list)) else ks
-        return subm_conv(st, w, table, bias=b, x_triples=(kx == 3)), cache
+        plan = cache.get(key)
+        if plan is None:
+            plan = build_subm_plan(st, self.kernel_size)
+            cache[key] = plan
+        out = apply_match_conv(st, plan, w, st.coords, st.valid, st.keys,
+                               st.spatial_shape, bias=b)
+        return out, cache
 
 
 class SparseConv3d(nn.Module):
@@ -72,12 +73,17 @@ class SparseConv3d(nn.Module):
         key = ('spconv', self.indice_key or f'auto_{self.name}')
         entry = cache.get(key)
         if entry is None:
-            entry = downsample_out_coords(
-                st, self.kernel_size, self.stride, self.padding, cap)
+            out_keys, out_coords, out_valid, out_shape = \
+                downsample_out_coords(
+                    st, self.kernel_size, self.stride, self.padding, cap)
+            plan = build_downsample_plan(
+                st, out_coords, out_valid, self.kernel_size, self.stride,
+                self.padding)
+            entry = (out_keys, out_coords, out_valid, out_shape, plan)
             cache[key] = entry
-        out_keys, out_coords, out_valid, out_shape = entry
-        out = sparse_conv(st, w, out_keys, out_coords, out_valid, out_shape,
-                          self.kernel_size, self.stride, self.padding, bias=b)
+        out_keys, out_coords, out_valid, out_shape, plan = entry
+        out = apply_match_conv(st, plan, w, out_coords, out_valid, out_keys,
+                               out_shape, bias=b)
         return out, cache
 
 

@@ -71,6 +71,41 @@ def furthest_point_sample(xyz, num_samples: int, valid=None):
     return out
 
 
+def combined_fps(xyz, features, num_samples: int, valid=None,
+                 feature_weight: float = 1.0):
+    """F-FPS: farthest point sampling in a combined xyz + feature metric.
+
+    The 3DSSD candidate sampler (reference
+    mmdet3d/ops/furthest_point_sample/points_sampler.py, used by
+    ssd3d_head.py): distance = ||dxyz||^2 + w * ||dfeat||^2 / C.
+    features=None degenerates to plain D-FPS.
+
+    Returns [num_samples] int32 indices.
+    """
+    n = xyz.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    if features is None:
+        return furthest_point_sample(xyz, num_samples, valid)
+    c = features.shape[-1]
+    dist0 = jnp.where(valid, BIG, -BIG)
+    first = jnp.argmax(valid)
+
+    def body(i, state):
+        dist, current, out = state
+        out = out.at[i].set(current)
+        d_xyz = jnp.sum((xyz - xyz[current]) ** 2, axis=-1)
+        d_feat = jnp.sum((features - features[current]) ** 2, axis=-1) / c
+        d = d_xyz + feature_weight * d_feat
+        dist = jnp.minimum(dist, jnp.where(valid, d, -BIG))
+        return dist, jnp.argmax(dist).astype(jnp.int32), out
+
+    out = jnp.zeros((num_samples,), jnp.int32)
+    _, _, out = jax.lax.fori_loop(
+        0, num_samples, body, (dist0, first.astype(jnp.int32), out))
+    return out
+
+
 def knn(query, key, k: int, key_valid=None):
     """k nearest keys per query.
 

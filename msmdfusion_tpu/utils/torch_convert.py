@@ -144,6 +144,14 @@ def transfusion_l_rules() -> ConverterRules:
     """Key mapping for the TransFusion-L tree (reference
     configs/transfusion_nusc_voxel_L.py checkpoint layout)."""
     r = ConverterRules()
+    _pts_trunk_rules(r, backbone_f='backbone', neck_f='neck')
+    return r
+
+
+def _pts_trunk_rules(r: ConverterRules, backbone_f: str, neck_f: str):
+    """Shared LiDAR trunk + TransFusion head mapping (SparseEncoder +
+    SECOND + SECONDFPN + TransFusionHead — identical torch keys in the
+    TransFusion-L and MSMDFusion checkpoints)."""
     me_t, me_f = 'pts_middle_encoder', 'middle_encoder'
     r.spconv(f'{me_t}.conv_input.0', f'{me_f}/SparseConvBlock_0/SubMConv3d_0')
     r.bn(f'{me_t}.conv_input.1', f'{me_f}/SparseConvBlock_0/MaskedBatchNorm_0')
@@ -176,16 +184,16 @@ def transfusion_l_rules() -> ConverterRules:
     for s, num in enumerate((5, 5)):
         base = f'pts_backbone.blocks.{s}'
         for li in range(num + 1):
-            r.conv(f'{base}.{li * 3}', f'backbone/ConvModule_{cm}/Conv_0')
+            r.conv(f'{base}.{li * 3}', f'{backbone_f}/ConvModule_{cm}/Conv_0')
             r.bn(f'{base}.{li * 3 + 1}',
-                 f'backbone/ConvModule_{cm}/MaskedBatchNorm_0')
+                 f'{backbone_f}/ConvModule_{cm}/MaskedBatchNorm_0')
             cm += 1
 
     # SECONDFPN neck: deblocks.{i} = (deconv|conv, BN, ReLU)
-    r.conv('pts_neck.deblocks.0.0', 'neck/Conv_0')
-    r.bn('pts_neck.deblocks.0.1', 'neck/MaskedBatchNorm_0')
-    r.deconv('pts_neck.deblocks.1.0', 'neck/ConvTranspose_0')
-    r.bn('pts_neck.deblocks.1.1', 'neck/MaskedBatchNorm_1')
+    r.conv('pts_neck.deblocks.0.0', f'{neck_f}/Conv_0')
+    r.bn('pts_neck.deblocks.0.1', f'{neck_f}/MaskedBatchNorm_0')
+    r.deconv('pts_neck.deblocks.1.0', f'{neck_f}/ConvTranspose_0')
+    r.bn('pts_neck.deblocks.1.1', f'{neck_f}/MaskedBatchNorm_1')
 
     # head
     h_t, h_f = 'pts_bbox_head', 'bbox_head'
@@ -221,6 +229,124 @@ def transfusion_l_rules() -> ConverterRules:
 def convert_transfusion_l(state_dict: Dict[str, np.ndarray]):
     """Convert a reference TransFusion-L state_dict -> flax variables."""
     return transfusion_l_rules().apply(state_dict)
+
+
+def resnet_rules(r: ConverterRules, t: str, f: str, depth: int = 50):
+    """torchvision/mmdet ResNet -> flax ResNet (backbones/resnet.py).
+
+    torch: {t}.conv1/bn1, {t}.layer{s}.{b}.conv{1..3}/bn{1..3},
+    downsample.0/.1; flax: {f}/conv1, {f}/bn1, {f}/layer{s}_{b}/...
+    """
+    blocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+              101: (3, 4, 23, 3)}[depth]
+    bottleneck = depth >= 50
+    n_convs = 3 if bottleneck else 2
+    r.conv(f'{t}.conv1', f'{f}/conv1')
+    r.bn(f'{t}.bn1', f'{f}/bn1')
+    for s, nb in enumerate(blocks):
+        for b in range(nb):
+            tb = f'{t}.layer{s + 1}.{b}'
+            fb = f'{f}/layer{s + 1}_{b}'
+            for c in range(1, n_convs + 1):
+                r.conv(f'{tb}.conv{c}', f'{fb}/conv{c}')
+                r.bn(f'{tb}.bn{c}', f'{fb}/bn{c}')
+            if b == 0 and (bottleneck or s > 0):
+                r.conv(f'{tb}.downsample.0', f'{fb}/downsample_conv')
+                r.bn(f'{tb}.downsample.1', f'{fb}/downsample_bn')
+
+
+def fpn_rules(r: ConverterRules, t: str, f: str, num_ins: int = 4):
+    """mmdet FPN -> flax FPN (necks/fpn.py: lateral_{i} / fpn_conv_{i})."""
+    for i in range(num_ins):
+        r.conv(f'{t}.lateral_convs.{i}.conv', f'{f}/lateral_{i}')
+        r.conv(f'{t}.fpn_convs.{i}.conv', f'{f}/fpn_conv_{i}')
+
+
+def msmdfusion_rules(num_stages: int = 4) -> ConverterRules:
+    """Key mapping for the full flagship MSMDFusion checkpoint.
+
+    Reference module tree: mmdet3d/models/detectors/MSMDFusion.py:96-144
+    (conv1x1_blocks, score_net, bev_fusion SPP) +
+    sparse_multimodal_encoder_painting.py:99-215 (GMA) + the shared LiDAR
+    trunk. Note the reference's ``grouped_sp_conv_blocks_2D`` and
+    ``grouped_sp_conv_blocks_mix`` parameters are created but never used in
+    its forward (grouped_sparse_conv:411-417 applies only the 3D block), so
+    they are intentionally unmapped (reported as unused, not an error).
+    """
+    r = ConverterRules()
+    _pts_trunk_rules(r, backbone_f='backbone_pts', neck_f='neck_pts')
+    resnet_rules(r, 'img_backbone', 'backbone_img', depth=50)
+    fpn_rules(r, 'img_neck', 'neck_img')
+
+    # depth-aware compression convs (MSMDFusion.py:108-124)
+    for i in range(3):
+        r.conv(f'conv1x1_blocks.{i}.0', f'compress_{i}/Conv_0')
+        r.bn(f'conv1x1_blocks.{i}.1', f'compress_{i}/MaskedBatchNorm_0')
+    # score_net Linear(66 -> 1) (MSMDFusion.py:126-129)
+    r.linear('score_net.0', 'score_net/Dense_0')
+    # SPP BEV fusion (MSMDFusion.py:47-90); branch order matches the flax
+    # SPPModule ConvModule_0..4 = conv1x1, conv3x3, d6, d12, fuse
+    for i, name in enumerate(('conv1x1', 'conv3x3', 'dilated_conv3x3_rate6',
+                              'dilated_conv3x3_rate12', 'fuse')):
+        r.conv(f'bev_fusion.{name}.0', f'bev_fusion/ConvModule_{i}/Conv_0')
+        r.bn(f'bev_fusion.{name}.1',
+             f'bev_fusion/ConvModule_{i}/MaskedBatchNorm_0')
+
+    # GMA multimodal encoder (sparse_multimodal_encoder_painting.py)
+    g_t, g_f = 'multimodal_middle_encoder', 'mm_encoder'
+    for i in range(num_stages):
+        st = f'stage_{i + 1}'
+        r.spconv(f'{g_t}.grouped_sp_conv_blocks_3D.{st}.0',
+                 f'{g_f}/grouped_3d_{i}/SubMConv3d_0')
+        r.bn(f'{g_t}.grouped_sp_conv_blocks_3D.{st}.1',
+             f'{g_f}/grouped_3d_{i}/MaskedBatchNorm_0')
+        r.linear(f'{g_t}.gate_control.{i}.0', f'{g_f}/gate_{i}/Dense_0')
+        r.linear(f'{g_t}.cross_gate_control.{i}.0',
+                 f'{g_f}/cross_gate_{i}/Dense_0')
+        agg_t = f'{g_t}.aggregation_blocks.{st}'
+        agg_f = f'{g_f}/aggregation_{i}'
+        r.spconv(f'{agg_t}.conv1', f'{agg_f}/SubMConv3d_0')
+        r.bn(f'{agg_t}.bn1', f'{agg_f}/MaskedBatchNorm_0')
+        r.spconv(f'{agg_t}.conv2', f'{agg_f}/SubMConv3d_1')
+        r.bn(f'{agg_t}.bn2', f'{agg_f}/MaskedBatchNorm_1')
+        r.spconv(f'{g_t}.downscale_blocks.{st}.0',
+                 f'{g_f}/downscale_{i}/SparseConv3d_0')
+        r.bn(f'{g_t}.downscale_blocks.{st}.1',
+             f'{g_f}/downscale_{i}/MaskedBatchNorm_0')
+    return r
+
+
+def convert_msmdfusion(state_dict: Dict[str, np.ndarray]):
+    """Convert a reference MSMDFusion state_dict -> flax variables.
+
+    Params with no torch counterpart (the GMA per-stage dummy_embedding —
+    the reference draws a fresh random row each step,
+    sparse_multimodal_encoder_painting.py:372) keep their init values;
+    merge with model.init via ``merge_variables``.
+    """
+    return msmdfusion_rules().apply(state_dict)
+
+
+def merge_variables(init_vars, converted):
+    """Overlay converted params/batch_stats onto freshly-initialized
+    variables (keeps params the converter has no torch source for)."""
+    import jax
+
+    def overlay(base, upd):
+        out = dict(base)
+        for k, v in upd.items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = overlay(out[k], v)
+            else:
+                out[k] = v
+        return out
+
+    merged = dict(init_vars)
+    for col in ('params', 'batch_stats'):
+        if col in converted and converted[col]:
+            merged[col] = overlay(dict(init_vars.get(col, {})),
+                                  converted[col])
+    return merged
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -12,6 +12,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# the axon sitecustomize re-exports JAX_PLATFORMS at interpreter start, so
+# the env var alone is not enough — force the platform through jax.config
+# (effective until the first backend initialization)
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 

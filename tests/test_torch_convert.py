@@ -108,3 +108,59 @@ def test_converter_covers_transfusion_l(rng):
         assert path in want_s and val.shape == tuple(want_s[path].shape), path
     # coverage: anything missing is a converter gap worth knowing about
     assert len(missing) == 0, f'paths not covered: {missing[:10]}'
+
+
+@pytest.mark.slow
+def test_converter_covers_msmdfusion_flagship(rng):
+    """Flagship converter covers 100%% of params except the GMA dummy
+    embeddings (no torch counterpart — the reference draws a fresh random
+    row per step, sparse_multimodal_encoder_painting.py:372)."""
+    from msmdfusion_tpu.utils.torch_convert import (convert_msmdfusion,
+                                                    merge_variables,
+                                                    msmdfusion_rules)
+    cfg = load_config('configs/MSMDFusion_nusc_voxel_LC.py')
+    model = build_detector(cfg.model)
+    b, v, n, m, mr = 1, 6, 500, 40, 30
+    pts = jnp.zeros((b, n, 5))
+    mask = jnp.ones((b, n), bool)
+    img = jnp.zeros((b, v, 64, 64, 3))
+    fg = dict(fg_pixels=jnp.zeros((b, v, m, 3)),
+              fg_points=jnp.zeros((b, v, m, 15)),
+              fg_mask=jnp.ones((b, v, m), bool),
+              fg_real_pixels=jnp.zeros((b, v, mr, 3)),
+              fg_real_mask=jnp.ones((b, v, mr), bool),
+              lidar2img=jnp.zeros((b, v, 4, 4)))
+    tree = jax.eval_shape(model.init, jax.random.PRNGKey(0), pts, mask, img,
+                          fg)
+    flax_params = jax.tree_util.tree_map(lambda x: np.zeros(x.shape),
+                                         tree['params'])
+    flax_stats = jax.tree_util.tree_map(lambda x: np.zeros(x.shape),
+                                        tree['batch_stats'])
+
+    rules = msmdfusion_rules()
+    sd = synthesize_state_dict(rules, flax_params, flax_stats, rng)
+    variables, unused = convert_msmdfusion(sd)
+    assert not unused, f'unconverted torch keys: {unused[:5]}'
+
+    got_p = flatten(variables['params'])
+    want_p = flatten(flax_params)
+    extra = sorted(set(got_p) - set(want_p))
+    assert not extra, f'converter produced unknown paths: {extra[:8]}'
+    for path, val in got_p.items():
+        assert val.shape == tuple(want_p[path].shape), \
+            f'{path}: {val.shape} vs {want_p[path].shape}'
+    got_s = flatten(variables['batch_stats'])
+    want_s = flatten(flax_stats)
+    for path, val in got_s.items():
+        assert path in want_s and val.shape == tuple(want_s[path].shape), path
+    missing = sorted(set(want_p) - set(got_p))
+    allow = [p for p in missing if 'dummy_embedding' in p]
+    hard_missing = [p for p in missing if 'dummy_embedding' not in p]
+    assert not hard_missing, f'paths not covered: {hard_missing[:10]}'
+    assert len(allow) == 4  # one learned dummy row per GMA stage
+
+    # merge keeps the un-sourced params from init
+    merged = merge_variables(
+        jax.tree_util.tree_map(lambda x: np.zeros(x.shape), tree), variables)
+    mp = flatten(merged['params'])
+    assert set(mp) == set(want_p)

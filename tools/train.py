@@ -127,12 +127,19 @@ def main():
     batch_stats = replicate(mesh, batch_stats)
     opt_state = replicate(mesh, opt_state)
 
-    train_step = jax.jit(make_train_step(model, tx, rng_key=rng))
+    train_step = jax.jit(make_train_step(model, tx, rng_key=rng,
+                                         frozen_predicates=tuple(frozen)))
 
     step = start_step
     log_interval = cfg.get('log_config', {}).get('interval', 50)
     t0 = time.time()
-    for epoch in range(cfg.total_epochs):
+    # on resume, continue from the right epoch with the same per-epoch
+    # shuffle a fresh run would have used (DistributedSampler.set_epoch
+    # semantics) instead of replaying from epoch 0
+    start_epoch = min(start_step // max(steps_per_epoch, 1),
+                      cfg.total_epochs)
+    for epoch in range(start_epoch, cfg.total_epochs):
+        loader.set_epoch(epoch)
         for batch in loader:
             if step >= total_steps:
                 break
