@@ -1,1 +1,1 @@
-from . import anchors, boxes, coders, gaussian, iou3d, nms  # noqa: F401
+from . import anchors, box_modes, boxes, coders, gaussian, iou3d, nms  # noqa: F401

@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..registry import BBOX_CODERS
 
@@ -207,3 +208,145 @@ class CenterPointBBoxCoder:
             valid &= jnp.all(boxes[..., :3] <= pcr[3:], axis=-1)
         return {'bboxes': boxes, 'scores': scores, 'labels': labels,
                 'valid': valid}
+
+
+@BBOX_CODERS.register('PartialBinBasedBBoxCoder')
+class PartialBinBasedBBoxCoder:
+    """Bin-based coder for VoteNet/H3DNet-style heads.
+
+    Reference: mmdet3d/core/bbox/coders/partial_bin_based_bbox_coder.py:9-240.
+    Boxes are plain [.., 7] arrays; encode takes gravity-centered boxes and
+    class labels, decode takes the split prediction dict.
+    """
+
+    def __init__(self, num_dir_bins, num_sizes, mean_sizes, with_rot=True):
+        self.num_dir_bins = int(num_dir_bins)
+        self.num_sizes = int(num_sizes)
+        self.mean_sizes = jnp.asarray(mean_sizes, jnp.float32).reshape(
+            -1, 3) if len(mean_sizes) else jnp.zeros((0, 3), jnp.float32)
+        self.with_rot = with_rot
+
+    # -- angle bins (reference :203-240) ------------------------------------
+    def angle2class(self, angle):
+        per = 2 * np.pi / self.num_dir_bins
+        shifted = jnp.mod(angle + per / 2, 2 * np.pi)
+        cls = (shifted / per).astype(jnp.int32)
+        res = shifted - (cls.astype(jnp.float32) * per + per / 2)
+        return cls, res
+
+    def class2angle(self, angle_cls, angle_res, limit=True):
+        per = 2 * np.pi / self.num_dir_bins
+        angle = angle_cls.astype(jnp.float32) * per + angle_res
+        if limit:
+            angle = jnp.where(angle > np.pi, angle - 2 * np.pi, angle)
+        return angle
+
+    def encode(self, gt_bboxes_3d, gt_labels_3d):
+        """[N, 7] bottom-center boxes + labels -> bin targets (:27-56)."""
+        center = jnp.concatenate(
+            [gt_bboxes_3d[..., :2],
+             gt_bboxes_3d[..., 2:3] + gt_bboxes_3d[..., 5:6] * 0.5], -1)
+        size_class = gt_labels_3d
+        size_res = gt_bboxes_3d[..., 3:6] - self.mean_sizes[size_class]
+        if self.with_rot:
+            dir_class, dir_res = self.angle2class(gt_bboxes_3d[..., 6])
+        else:
+            dir_class = jnp.zeros_like(gt_labels_3d)
+            dir_res = jnp.zeros(gt_labels_3d.shape, jnp.float32)
+        return center, size_class, size_res, dir_class, dir_res
+
+    def decode(self, bbox_out, suffix=''):
+        """Split-pred dict -> [B, P, 7] gravity-center boxes (:58-99)."""
+        center = bbox_out['center' + suffix]
+        b, p = center.shape[:2]
+        if self.with_rot:
+            dir_class = jnp.argmax(bbox_out['dir_class' + suffix], -1)
+            dir_res = jnp.take_along_axis(
+                bbox_out['dir_res' + suffix], dir_class[..., None], -1)[..., 0]
+            dir_angle = self.class2angle(dir_class, dir_res)[..., None]
+        else:
+            dir_angle = jnp.zeros((b, p, 1), center.dtype)
+        size_class = jnp.argmax(bbox_out['size_class' + suffix], -1)
+        size_res = jnp.take_along_axis(
+            bbox_out['size_res' + suffix],
+            size_class[..., None, None].repeat(3, -1), -2)[..., 0, :]
+        size = self.mean_sizes[size_class] + size_res
+        return jnp.concatenate([center, size, dir_angle], -1)
+
+    def split_pred(self, cls_preds, reg_preds, base_xyz):
+        """[B, C, P] conv outputs -> named dict (reference :139-201)."""
+        res = {}
+        cls_t = jnp.swapaxes(cls_preds, 1, 2)
+        reg_t = jnp.swapaxes(reg_preds, 1, 2)
+        i = 0
+        res['center'] = base_xyz + reg_t[..., i:i + 3]
+        i += 3
+        res['dir_class'] = reg_t[..., i:i + self.num_dir_bins]
+        i += self.num_dir_bins
+        dir_res_norm = reg_t[..., i:i + self.num_dir_bins]
+        i += self.num_dir_bins
+        res['dir_res_norm'] = dir_res_norm
+        res['dir_res'] = dir_res_norm * (np.pi / self.num_dir_bins)
+        res['size_class'] = reg_t[..., i:i + self.num_sizes]
+        i += self.num_sizes
+        b, p = reg_t.shape[:2]
+        size_res_norm = reg_t[..., i:i + self.num_sizes * 3].reshape(
+            b, p, self.num_sizes, 3)
+        res['size_res_norm'] = size_res_norm
+        res['size_res'] = size_res_norm * self.mean_sizes[None, None]
+        res['obj_scores'] = cls_t[..., :2]
+        res['sem_scores'] = cls_t[..., 2:]
+        return res
+
+
+@BBOX_CODERS.register('AnchorFreeBBoxCoder')
+class AnchorFreeBBoxCoder(PartialBinBasedBBoxCoder):
+    """Anchor-free coder (3DSSD): half-size regression, no size bins.
+
+    Reference: mmdet3d/core/bbox/coders/anchor_free_bbox_coder.py:9-129.
+    """
+
+    def __init__(self, num_dir_bins, with_rot=True):
+        super().__init__(num_dir_bins, 0, [], with_rot=with_rot)
+
+    def encode(self, gt_bboxes_3d, gt_labels_3d):
+        center = jnp.concatenate(
+            [gt_bboxes_3d[..., :2],
+             gt_bboxes_3d[..., 2:3] + gt_bboxes_3d[..., 5:6] * 0.5], -1)
+        size_res = gt_bboxes_3d[..., 3:6] / 2
+        if self.with_rot:
+            dir_class, dir_res = self.angle2class(gt_bboxes_3d[..., 6])
+            dir_res = dir_res / (2 * np.pi / self.num_dir_bins)
+        else:
+            dir_class = jnp.zeros_like(gt_labels_3d)
+            dir_res = jnp.zeros(gt_labels_3d.shape, jnp.float32)
+        return center, size_res, dir_class, dir_res
+
+    def decode(self, bbox_out):
+        center = bbox_out['center']
+        b, p = center.shape[:2]
+        if self.with_rot:
+            dir_class = jnp.argmax(bbox_out['dir_class'], -1)
+            dir_res = jnp.take_along_axis(
+                bbox_out['dir_res'], dir_class[..., None], -1)[..., 0]
+            dir_angle = self.class2angle(dir_class, dir_res)[..., None]
+        else:
+            dir_angle = jnp.zeros((b, p, 1), center.dtype)
+        size = jnp.clip(bbox_out['size'] * 2, 0.1, None)
+        return jnp.concatenate([center, size, dir_angle], -1)
+
+    def split_pred(self, cls_preds, reg_preds, base_xyz):
+        res = {'obj_scores': cls_preds}
+        reg_t = jnp.swapaxes(reg_preds, 1, 2)
+        i = 0
+        res['center_offset'] = reg_t[..., i:i + 3]
+        res['center'] = jax.lax.stop_gradient(base_xyz) + reg_t[..., i:i + 3]
+        i += 3
+        res['size'] = reg_t[..., i:i + 3]
+        i += 3
+        res['dir_class'] = reg_t[..., i:i + self.num_dir_bins]
+        i += self.num_dir_bins
+        dir_res_norm = reg_t[..., i:i + self.num_dir_bins]
+        res['dir_res_norm'] = dir_res_norm
+        res['dir_res'] = dir_res_norm * (2 * np.pi / self.num_dir_bins)
+        return res

@@ -111,10 +111,14 @@ class NuScenesDataset(Custom3DDataset):
             boxes = np.asarray(det['bboxes'])
             scores = np.asarray(det['scores'])
             labels = np.asarray(det['labels'])
-            l2e_r = np.asarray(info['lidar2ego_rotation'])
-            l2e_t = np.asarray(info['lidar2ego_translation'])
-            e2g_r = np.asarray(info['ego2global_rotation'])
-            e2g_t = np.asarray(info['ego2global_translation'])
+            # identity poses when infos carry no calibration (synthetic /
+            # minimal infos, e.g. the in-training EvalHook smoke path)
+            ident_q = np.array([1.0, 0.0, 0.0, 0.0])
+            l2e_r = np.asarray(info.get('lidar2ego_rotation', ident_q))
+            l2e_t = np.asarray(info.get('lidar2ego_translation', np.zeros(3)))
+            e2g_r = np.asarray(info.get('ego2global_rotation', ident_q))
+            e2g_t = np.asarray(info.get('ego2global_translation',
+                                        np.zeros(3)))
             annos = []
             for box, score, label in zip(boxes, scores, labels):
                 name = self.CLASSES[int(label)]

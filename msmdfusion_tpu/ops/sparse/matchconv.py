@@ -248,6 +248,20 @@ def plan_slab_spans(plan: MatchPlan) -> jax.Array:
 # XLA fallback (CPU path, and building block for the backward pass)
 # ---------------------------------------------------------------------------
 
+def _split_hi_lo(x32: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Exact fp32 -> (hi, lo) bf16 split: hi + lo == x to ~2^-16 relative.
+
+    The naive ``hi = bf16(x); lo = bf16(x - f32(hi))`` is UNSOUND under XLA:
+    ``xla_allow_excess_precision`` (default on) elides the f32->bf16->f32
+    round-trip, so the subtraction folds to exactly zero and the "split"
+    silently degrades to a single bf16 pass (measured on v5e: lo == 0
+    everywhere). ``lax.reduce_precision`` is the documented barrier XLA
+    must honor.
+    """
+    hi32 = jax.lax.reduce_precision(x32, exponent_bits=8, mantissa_bits=7)
+    return hi32.astype(jnp.bfloat16), (x32 - hi32).astype(jnp.bfloat16)
+
+
 def _rows_from_plan(in_keys: jax.Array, plan: MatchPlan) -> jax.Array:
     """Exact match rows [Ta, K_out_pad] (-1 = missing) via searchsorted."""
     q = plan.queries
@@ -322,20 +336,38 @@ def _match_kernel(starts_ref, q_ref, inb_ref, keys_hbm, featsT_hbm, w_ref,
         cw = min(512, slab)              # chunk width (lanes per MXU pass)
         nch = jnp.clip((r_end - r0a + cw - 1) // cw, 0, slab // cw)
 
-        for j in range(kx):
-            t = g * kx + j
-            q = q_ref[:, t:t + 1]                        # [T, 1] int32
+        # all kx taps of the group share the slab: stack their match
+        # matrices along sublanes and contract once per chunk (kx fewer
+        # loop iterations + MXU issues — the kernel is loop-overhead bound
+        # at small Cin). The [kx*T, cp] fp32 accumulator lives on the
+        # kernel stack, so only stack taps when it fits comfortably
+        # (C=192 GMA convs overflowed the 16MB scoped-vmem limit).
+        stack_taps = kx > 1 and kx * tile * cp * 4 <= 1 * 1024 * 1024
+        eff_kx = kx if stack_taps else 1
 
-            def chunk(c, g_acc, _q=q, _slot=slot):
+        def run_group(j0, _slot=slot):
+            qs = [q_ref[:, g * kx + j0 + j:g * kx + j0 + j + 1]
+                  for j in range(eff_kx)]
+
+            def chunk(c, g_acc):
                 krow = kslab[_slot, :, pl.ds(c * cw, cw)]     # [1, cw]
-                m = (_q == krow).astype(jnp.bfloat16)         # [T, cw]
+                m = jnp.concatenate(
+                    [(q == krow).astype(jnp.bfloat16) for q in qs],
+                    axis=0)                                   # [eff_kx*T, cw]
                 f = fslab[_slot, :, pl.ds(c * cw, cw)]        # [cp, cw]
                 return g_acc + jax.lax.dot_general(
                     m, f, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            g_t = jax.lax.fori_loop(
-                0, nch, chunk, jnp.zeros((tile, cp), jnp.float32))
+            return jax.lax.fori_loop(
+                0, nch, chunk, jnp.zeros((eff_kx * tile, cp), jnp.float32))
+
+        g_all = run_group(0) if stack_taps else None
+
+        for j in range(kx):
+            t = g * kx + j
+            g_t = (g_all[j * tile:(j + 1) * tile] if stack_taps
+                   else run_group(j))
             if parts == 2:
                 g_t = g_t[:, :cin] + g_t[:, cin:]
             g_t = g_t * inb_ref[:, t:t + 1].astype(jnp.float32)
@@ -391,9 +423,7 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
     if parts == 1:
         feats_t = feats_t.at[:cin, :k_in].set(feats.T)
     else:
-        f32 = feats.astype(jnp.float32)
-        hi = f32.astype(jnp.bfloat16)
-        lo = (f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi, lo = _split_hi_lo(feats.astype(jnp.float32))
         feats_t = feats_t.at[:cin, :k_in].set(hi.T)
         feats_t = feats_t.at[cin_pad:cin_pad + cin, :k_in].set(lo.T)
     keys_p = jnp.concatenate(
@@ -409,8 +439,7 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
         w_arg = w32.reshape(ta * cin_pad, cout)
         gall_shape = (tile, ta * cin_pad)
     else:
-        w_hi = w32.astype(jnp.bfloat16)
-        w_lo = (w32 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        w_hi, w_lo = _split_hi_lo(w32)
         w_arg = jnp.stack([w_hi, w_lo])                  # [2, Ta, cin, cout]
         gall_shape = (tile, cout)
 

@@ -7,6 +7,7 @@ test_nms.py, test_coders.py, test_anchors.py).
 """
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from msmdfusion_tpu.core import boxes as B
@@ -293,3 +294,102 @@ def test_anchor_generator_grid():
     flat = anchors.reshape(-1, 7)
     assert flat[:, 0].min() >= 0 and flat[:, 0].max() <= 70.4
     assert np.allclose(np.unique(flat[:, 6]), [0, np.pi / 2])
+
+
+def test_partial_bin_coder_round_trip(rng):
+    """Encode -> decode identity for PartialBinBasedBBoxCoder
+    (reference partial_bin_based_bbox_coder.py:27-99)."""
+    import jax.numpy as jnp
+    from msmdfusion_tpu.core.coders import PartialBinBasedBBoxCoder
+    mean_sizes = [[2.0, 2.0, 2.0], [4.0, 1.8, 1.6], [0.8, 0.8, 1.7]]
+    coder = PartialBinBasedBBoxCoder(num_dir_bins=12, num_sizes=3,
+                                     mean_sizes=mean_sizes)
+    n = 10
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :3] = rng.uniform(-10, 10, (n, 3))
+    boxes[:, 3:6] = rng.uniform(0.5, 4, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi + 0.01, np.pi - 0.01, n)
+    labels = rng.randint(0, 3, n)
+    center, size_class, size_res, dir_class, dir_res = coder.encode(
+        jnp.asarray(boxes), jnp.asarray(labels))
+    # rebuild one-hot prediction dict and decode
+    out = dict(
+        center=jnp.asarray(center)[None],
+        dir_class=jax.nn.one_hot(dir_class, 12)[None],
+        dir_res=jnp.tile(jnp.asarray(dir_res)[:, None], (1, 12))[None],
+        size_class=jax.nn.one_hot(size_class, 3)[None],
+        size_res=jnp.tile(jnp.asarray(size_res)[:, None, :], (1, 3, 1))[None])
+    dec = np.asarray(coder.decode(out))[0]
+    np.testing.assert_allclose(dec[:, :2], boxes[:, :2], atol=1e-4)
+    np.testing.assert_allclose(dec[:, 2], boxes[:, 2] + boxes[:, 5] / 2,
+                               atol=1e-4)
+    np.testing.assert_allclose(dec[:, 3:6], boxes[:, 3:6], atol=1e-4)
+    dyaw = (dec[:, 6] - boxes[:, 6]) / (2 * np.pi)
+    np.testing.assert_allclose(dyaw, np.round(dyaw), atol=1e-4)
+
+
+def test_anchor_free_coder_round_trip_and_split(rng):
+    import jax.numpy as jnp
+    from msmdfusion_tpu.core.coders import AnchorFreeBBoxCoder
+    coder = AnchorFreeBBoxCoder(num_dir_bins=12)
+    n = 8
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :3] = rng.uniform(-10, 10, (n, 3))
+    boxes[:, 3:6] = rng.uniform(0.5, 4, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi + 0.01, np.pi - 0.01, n)
+    center, size_res, dir_class, dir_res = coder.encode(
+        jnp.asarray(boxes), jnp.zeros(n, jnp.int32))
+    out = dict(
+        center=jnp.asarray(center)[None],
+        size=jnp.asarray(size_res)[None],
+        dir_class=jax.nn.one_hot(dir_class, 12)[None],
+        dir_res=jnp.tile(
+            (jnp.asarray(dir_res) * (2 * np.pi / 12))[:, None], (1, 12))[None])
+    dec = np.asarray(coder.decode(out))[0]
+    np.testing.assert_allclose(dec[:, 3:6], boxes[:, 3:6], atol=1e-4)
+    dyaw = (dec[:, 6] - boxes[:, 6]) / (2 * np.pi)
+    np.testing.assert_allclose(dyaw, np.round(dyaw), atol=1e-4)
+    # split_pred layout: 3 center + 3 size + 12 + 12 dir channels
+    reg = jnp.asarray(rng.randn(2, 3 + 3 + 24, 5).astype(np.float32))
+    cls = jnp.asarray(rng.randn(2, 1, 5).astype(np.float32))
+    base = jnp.asarray(rng.randn(2, 5, 3).astype(np.float32))
+    res = coder.split_pred(cls, reg, base)
+    assert res['center'].shape == (2, 5, 3)
+    assert res['dir_res'].shape == (2, 5, 12)
+
+
+def test_iou_neg_piecewise_sampler(rng):
+    """Piece-wise negative sampling semantics
+    (reference iou_neg_piecewise_sampler.py:56-97)."""
+    from msmdfusion_tpu.core.samplers import IoUNegPiecewiseSampler
+    sampler = IoUNegPiecewiseSampler(
+        num=128, pos_fraction=0.5,
+        neg_piece_fractions=[0.8, 0.2],
+        neg_iou_piece_thrs=[0.55, 0.1],
+        return_iou=True)
+    n = 1000
+    gt_inds = np.zeros(n, np.int64)
+    gt_inds[:40] = rng.randint(1, 5, 40)        # 40 positives
+    ovl = rng.uniform(0, 0.54, n)
+    res = sampler.sample(gt_inds, ovl, rng)
+    assert len(res.pos_inds) == 40               # fewer than 64 expected
+    assert len(res.neg_inds) == 128 - 40
+    # ~80% of negatives from the high-IoU piece [0.1, 0.55)
+    high = (ovl[res.neg_inds] >= 0.1).sum()
+    assert high >= int(88 * 0.8) - 1
+    assert res.iou is not None and len(res.iou) == 128
+    # positives map back to 0-based gt indices
+    assert (res.pos_assigned_gt_inds >= 0).all()
+    # shortfall roll-over: almost no high-IoU negatives available
+    ovl2 = rng.uniform(0, 0.09, n)               # all in the last piece
+    res2 = sampler.sample(gt_inds, ovl2, rng)
+    assert len(res2.neg_inds) == 88              # still filled from piece 2
+
+
+def test_pseudo_sampler_keeps_all(rng):
+    from msmdfusion_tpu.core.samplers import PseudoSampler
+    gt_inds = np.array([0, 2, 0, 1, -1])
+    res = PseudoSampler().sample(gt_inds, np.zeros(5))
+    assert res.pos_inds.tolist() == [1, 3]
+    assert res.neg_inds.tolist() == [0, 2]
+    assert res.pos_assigned_gt_inds.tolist() == [1, 0]

@@ -107,3 +107,15 @@ def test_set_epoch_propagates_through_wrappers(tmp_path, rng, db):
     loader = DataLoader(ds, batch_size=2, num_workers=1)
     loader.set_epoch(3)
     assert ds.pipeline.transforms[0].epoch == 3
+
+
+def test_shard_indices_and_merge():
+    """Rank-sharded eval indices + result re-interleaving (multi-host
+    collect_results analog, reference tools/test.py:194-195)."""
+    from msmdfusion_tpu.parallel import merge_sharded_results, shard_indices
+    n, world = 11, 3
+    shards = [shard_indices(n, rank=r, world=world) for r in range(world)]
+    assert sorted(np.concatenate(shards).tolist()) == list(range(n))
+    collected = [(r, [f'det{i}' for i in shards[r]]) for r in range(world)]
+    merged = merge_sharded_results(collected, n)
+    assert merged == [f'det{i}' for i in range(n)]

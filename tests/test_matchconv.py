@@ -1,0 +1,143 @@
+"""Unit tests for the sorted-merge match-matmul conv engine.
+
+The Pallas kernel itself only runs on TPU; on CPU these tests cover the
+plan builders + XLA fallback against an exact numpy oracle, the hi/lo
+bf16 split soundness (regression: XLA's excess-precision rule used to
+fold ``lo`` to zero), and the custom-VJP backward vs autodiff of the
+fallback. Reference semantics: spconv rulebook gather-GEMM-scatter
+(mmdet3d/ops/spconv/ops.py:46-128).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msmdfusion_tpu.ops.sparse import matchconv as mc
+from msmdfusion_tpu.ops.sparse.tensor import INT_MAX, SparseTensor
+
+
+def make_st(rng, k_cap, n_valid, shape, c):
+    z, y, x = shape
+    coords = np.stack([np.zeros(n_valid, np.int32),
+                       rng.randint(0, z, n_valid),
+                       rng.randint(0, y, n_valid),
+                       rng.randint(0, x, n_valid)], 1).astype(np.int32)
+    keys = ((coords[:, 0] * z + coords[:, 1]) * y + coords[:, 2]) * x \
+        + coords[:, 3]
+    _, idx = np.unique(keys, return_index=True)
+    order = idx[np.argsort(keys[idx])]
+    coords = coords[order]
+    n = len(coords)
+    pad = k_cap - n
+    coords_full = np.concatenate([coords, np.zeros((pad, 4), np.int32)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    keys_full = np.concatenate(
+        [np.sort(keys[idx]), np.full(pad, INT_MAX, np.int64)]
+    ).astype(np.int32)
+    feats = rng.randn(k_cap, c).astype(np.float32) * valid[:, None]
+    return SparseTensor(features=jnp.asarray(feats),
+                        coords=jnp.asarray(coords_full),
+                        valid=jnp.asarray(valid), keys=jnp.asarray(keys_full),
+                        spatial_shape=shape, batch_size=1)
+
+
+def oracle_conv(st, plan, w):
+    """Exact fp64 conv through the plan's match rows."""
+    rows = np.asarray(mc._rows_from_plan(st.keys, plan))   # [Ta, K_pad]
+    f = np.asarray(st.features, np.float64)
+    out = np.zeros((rows.shape[1], w.shape[2]))
+    for t in range(rows.shape[0]):
+        hit = rows[t] >= 0
+        out[hit] += f[rows[t][hit]] @ np.asarray(w[t], np.float64)
+    return out
+
+
+def dense_oracle(st, w, kernel_size=3):
+    """Independent dense-conv oracle (does not trust the plan)."""
+    z, y, x = st.spatial_shape
+    c = st.features.shape[1]
+    dense = np.zeros((z, y, x, c))
+    coords = np.asarray(st.coords)
+    valid = np.asarray(st.valid)
+    feats = np.asarray(st.features, np.float64)
+    for i in np.where(valid)[0]:
+        dense[coords[i, 1], coords[i, 2], coords[i, 3]] = feats[i]
+    offs = mc._offsets_zyx(kernel_size)
+    w64 = np.asarray(w, np.float64)
+    out = np.zeros((int(valid.sum()), w.shape[2]))
+    for j, i in enumerate(np.where(valid)[0]):
+        cz, cy, cx = coords[i, 1:]
+        for t, (dz, dy, dx) in enumerate(offs):
+            nz, ny, nx = cz + dz, cy + dy, cx + dx
+            if 0 <= nz < z and 0 <= ny < y and 0 <= nx < x:
+                out[j] += dense[nz, ny, nx] @ w64[t]
+    return out
+
+
+def test_split_hi_lo_not_elided():
+    """Regression: XLA excess-precision folding used to zero the lo part."""
+    x = jnp.asarray(np.random.RandomState(0).randn(64, 16).astype(np.float32))
+    hi, lo = jax.jit(mc._split_hi_lo)(x)
+    lo32 = np.asarray(lo.astype(jnp.float32))
+    assert np.abs(lo32).max() > 0, 'lo part was elided to zero'
+    rec = np.asarray(hi.astype(jnp.float32)) + lo32
+    rel = np.abs(rec - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
+    assert rel < 2 ** -15
+
+
+def test_subm_plan_fallback_matches_dense_oracle(rng):
+    st = make_st(rng, 512, 400, (9, 24, 24), 16)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    w = (rng.randn(27, 16, 24) * 0.1).astype(np.float32)
+    out = np.asarray(mc._fallback_conv(st.features, st.keys, plan,
+                                       jnp.asarray(w)))
+    ref = dense_oracle(st, w)
+    n = ref.shape[0]
+    np.testing.assert_allclose(out[:n], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_plan_oracle_matches_dense_oracle(rng):
+    """The plan's match rows reproduce true neighbor structure."""
+    st = make_st(rng, 256, 200, (5, 16, 16), 8)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    w = (rng.randn(27, 8, 8) * 0.1).astype(np.float32)
+    n = int(np.asarray(st.valid).sum())
+    np.testing.assert_allclose(
+        oracle_conv(st, plan, w)[:n], dense_oracle(st, w), atol=1e-9)
+
+
+def test_backward_matches_fallback_autodiff(rng):
+    st = make_st(rng, 256, 200, (5, 16, 16), 8)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    w = jnp.asarray((rng.randn(27, 8, 8) * 0.1).astype(np.float32))
+
+    def loss_custom(f, w_):
+        out = mc.match_conv(f, st.keys, (plan, w_), 1024)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(f, w_):
+        out = mc._fallback_conv(f, st.keys, plan, w_)
+        return jnp.sum(out ** 2)
+
+    gf, gw = jax.grad(loss_custom, argnums=(0, 1))(st.features, w)
+    gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(st.features, w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='Pallas kernel requires TPU')
+def test_pallas_matches_oracle_precisely(rng):
+    for c, cout in [(16, 16), (128, 128)]:   # fused + non-fused paths
+        st = make_st(rng, 4096, 3200, (21, 180, 180), c)
+        plan = mc.build_subm_plan(st, 3)
+        w = (rng.randn(27, c, cout) * 0.1).astype(np.float32)
+        out = np.asarray(jax.jit(
+            lambda f, k: mc._pallas_conv(f, k, plan, jnp.asarray(w))
+        )(st.features, st.keys))
+        ref = oracle_conv(st, plan, w)
+        ko = plan.k_out
+        rel = np.abs(out[:ko] - ref[:ko]).max() / np.abs(ref).max()
+        assert rel < 1e-4, f'C={c}: rel err {rel}'

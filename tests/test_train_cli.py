@@ -34,7 +34,17 @@ data = dict(
     train=dict(type='NuScenesDataset', data_root='{root}',
                ann_file='{root}/infos.pkl', pipeline=train_pipeline,
                classes=class_names, modality=dict(use_lidar=True),
-               test_mode=False, box_type_3d='LiDAR'))
+               test_mode=False, box_type_3d='LiDAR'),
+    val=dict(type='NuScenesDataset', data_root='{root}',
+             ann_file='{root}/infos.pkl', pipeline=[
+                 dict(type='LoadPointsFromFile', coord_type='LIDAR',
+                      load_dim=5, use_dim=[0, 1, 2, 3, 4]),
+                 dict(type='PointsRangeFilter',
+                      point_cloud_range=point_cloud_range),
+                 dict(type='PadPoints', max_points=512),
+                 dict(type='FormatBundle3D', class_names=class_names),
+             ], classes=class_names, modality=dict(use_lidar=True),
+             test_mode=True, box_type_3d='LiDAR'))
 model = dict(
     type='TransFusionDetector',
     pts_voxel_layer=dict(max_num_points=4, voxel_size=voxel_size,
@@ -87,6 +97,7 @@ lr_config = dict(policy='step', warmup='linear', warmup_iters=5,
                  warmup_ratio=0.1, step=[1])
 total_epochs = 1
 log_config = dict(interval=1)
+evaluation = dict(interval=1, max_samples=2)
 '''
 
 
@@ -132,3 +143,15 @@ def test_train_cli_runs_steps(synthetic_dataset):
     assert 'total_loss' in log
     ckpts = [d for d in os.listdir(work_dir) if d.startswith('ckpt_')]
     assert ckpts, f'no checkpoint written; dir: {os.listdir(work_dir)}'
+    # observability: line-JSON scalar log with train AND val records
+    # (EvalHook ran the native nuScenes metrics on 2 val samples)
+    import json
+    json_logs = [f for f in os.listdir(work_dir) if f.endswith('.log.json')]
+    assert json_logs, f'no log.json; dir: {os.listdir(work_dir)}'
+    records = [json.loads(line) for line in
+               (work_dir / json_logs[0]).read_text().splitlines()]
+    modes = {r['mode'] for r in records}
+    assert 'train' in modes and 'val' in modes, modes
+    train_recs = [r for r in records if r['mode'] == 'train']
+    assert 'total_loss' in train_recs[0] and 'lr' in train_recs[0]
+    assert 'val: ' in log

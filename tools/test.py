@@ -36,29 +36,33 @@ def parse_args():
     p.add_argument('--format-only', action='store_true')
     p.add_argument('--max-samples', type=int, default=None)
     p.add_argument('--cfg-options', nargs='+', default=[])
+    p.add_argument('--launcher', default='none',
+                   choices=['none', 'tpu', 'manual'],
+                   help='multi-host launcher (reference --launcher pytorch/'
+                        'slurm; here jax.distributed.initialize)')
     return p.parse_args()
 
 
-def unpack_detections(res):
-    """Masked fixed-size decode output -> per-sample variable-size numpy."""
-    out = []
-    bboxes = np.asarray(res['bboxes'])
-    scores = np.asarray(res['scores'])
-    labels = np.asarray(res['labels'])
-    valid = np.asarray(res.get('valid', np.ones(scores.shape, bool)))
-    for i in range(bboxes.shape[0]):
-        m = valid[i]
-        out.append(dict(bboxes=bboxes[i][m], scores=scores[i][m],
-                        labels=labels[i][m]))
-    return out
+from msmdfusion_tpu.apis.inference import (batch_model_inputs as
+                                            build_infer_inputs,
+                                            unpack_detections)
 
 
 def main():
     args = parse_args()
+    from msmdfusion_tpu.parallel import (collect_results, init_dist,
+                                         merge_sharded_results,
+                                         shard_indices)
+    multi = init_dist(args.launcher)
     cfg = load_config(args.config, parse_cli_overrides(args.cfg_options))
     model = build_detector(cfg.model)
     dataset = DATASETS.build(dict(cfg.data.test))
-    loader = DataLoader(dataset, 1, shuffle=False, drop_last=False,
+    # rank-sharded evaluation (reference multi_gpu_test's
+    # DistributedSampler; results are re-interleaved after the gather)
+    indices = shard_indices(len(dataset)) if multi \
+        else np.arange(len(dataset))
+    shard = _IndexedView(dataset, indices)
+    loader = DataLoader(shard, 1, shuffle=False, drop_last=False,
                         num_workers=cfg.data.get('workers_per_gpu', 4))
 
     if args.checkpoint:
@@ -69,12 +73,11 @@ def main():
         print('WARNING: no checkpoint; random init')
         first = next(iter(loader))
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.asarray(first['points']),
-                               jnp.asarray(first['points_mask']))
+                               *build_infer_inputs(cfg.model.type, first))
 
     @jax.jit
-    def infer(points, points_mask):
-        preds = model.apply(variables, points, points_mask, train=False)
+    def infer(*inputs):
+        preds = model.apply(variables, *inputs, train=False)
         return model.apply(variables, preds, method=type(model).get_bboxes)
 
     results = []
@@ -82,11 +85,16 @@ def main():
     for i, batch in enumerate(loader):
         if args.max_samples and i >= args.max_samples:
             break
-        res = infer(jnp.asarray(batch['points']),
-                    jnp.asarray(batch['points_mask']))
+        res = infer(*build_infer_inputs(cfg.model.type, batch))
         results.extend(unpack_detections(jax.device_get(res)))
         if (i + 1) % 50 == 0:
             print(f'{i + 1} samples, {(i + 1) / (time.time() - t0):.2f} fps')
+
+    if multi:
+        results = merge_sharded_results(collect_results(results),
+                                        len(dataset))
+        if jax.process_index() != 0:
+            return
 
     if args.out:
         with open(args.out, 'wb') as f:
@@ -97,6 +105,20 @@ def main():
     elif args.eval is not None:
         metrics = dataset.evaluate(results)
         print(metrics)
+
+
+class _IndexedView:
+    """Dataset view over a subset of indices (rank shard)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = indices
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
 
 
 if __name__ == '__main__':

@@ -47,6 +47,13 @@ def parse_args():
     p.add_argument('--max-steps', type=int, default=None,
                    help='cap total steps (debug)')
     p.add_argument('--cfg-options', nargs='+', default=[])
+    p.add_argument('--launcher', default='none',
+                   choices=['none', 'tpu', 'manual'],
+                   help='multi-host launcher (jax.distributed.initialize; '
+                        'reference --launcher pytorch/slurm)')
+    p.add_argument('--no-validate', action='store_true',
+                   help='skip the in-training EvalHook (reference '
+                        'tools/train.py --no-validate)')
     return p.parse_args()
 
 
@@ -72,6 +79,8 @@ def build_batch_inputs(model_type, batch):
 
 def main():
     args = parse_args()
+    from msmdfusion_tpu.parallel import init_dist
+    init_dist(args.launcher)
     cfg = load_config(args.config, parse_cli_overrides(args.cfg_options))
     work_dir = args.work_dir or os.path.join(
         'work_dirs', os.path.splitext(os.path.basename(args.config))[0])
@@ -130,6 +139,22 @@ def main():
     train_step = jax.jit(make_train_step(model, tx, rng_key=rng,
                                          frozen_predicates=tuple(frozen)))
 
+    # observability: line-JSON scalar log (mmcv TextLoggerHook format) +
+    # per-epoch EvalHook (reference `evaluation = dict(interval=1)`)
+    from msmdfusion_tpu.apis.inference import make_batch_infer
+    from msmdfusion_tpu.utils.log_hooks import EvalHook, JsonLogWriter
+    json_log = JsonLogWriter(work_dir)
+    eval_hook = None
+    eval_cfg = dict(cfg.get('evaluation', {}))
+    if not args.no_validate and eval_cfg and 'val' in cfg.data:
+        val_ds = DATASETS.build(dict(cfg.data.val))
+        batch_infer = make_batch_infer(model, cfg.model.type)
+        eval_hook = EvalHook(val_ds, None,
+                             interval=eval_cfg.get('interval', 1),
+                             max_samples=eval_cfg.get('max_samples'))
+        logger.info(f'EvalHook: {len(val_ds)} val samples every '
+                    f'{eval_hook.interval} epoch(s)')
+
     step = start_step
     log_interval = cfg.get('log_config', {}).get('interval', 50)
     t0 = time.time()
@@ -163,11 +188,23 @@ def main():
                     f'epoch {epoch} step {step}/{total_steps} '
                     f'{rate:.1f} samples/s ' +
                     ' '.join(f'{k}={v:.4f}' for k, v in metrics.items()))
+                json_log.write('train', epoch, step, metrics,
+                               lr=float(lr_sched(step)),
+                               samples_per_s=round(rate, 2))
         ckpt = save_checkpoint(
             work_dir, step, jax.device_get(params),
             jax.device_get(batch_stats), jax.device_get(opt_state),
             meta={'epoch': epoch, 'config': args.config})
         logger.info(f'saved {ckpt}')
+        if eval_hook is not None and eval_hook.should_run(epoch):
+            variables = {'params': params}
+            if batch_stats:
+                variables['batch_stats'] = batch_stats
+            val_metrics = eval_hook.run(
+                lambda b: batch_infer(variables, b))
+            logger.info('val: ' + ' '.join(
+                f'{k}={v:.4f}' for k, v in val_metrics.items()))
+            json_log.write('val', epoch, step, val_metrics)
         if step >= total_steps:
             break
 
