@@ -65,3 +65,26 @@ def export_obj(boxes: np.ndarray, out_file: str):
             for a, b in edges:
                 f.write(f'l {base + a} {base + b}\n')
     return out_file
+
+
+def show_result(points, gt_bboxes, pred_bboxes, out_dir: str,
+                filename: str):
+    """Write BEV PNG + OBJ meshes for one sample.
+
+    Reference: mmdet3d/core/visualizer/show_result.py:1-112 (which writes
+    .obj files for points/gt/pred); the BEV PNG replaces the open3d window.
+    """
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    png = os.path.join(out_dir, f'{filename}_bev.png')
+    show_bev(points, pred_bboxes, gt_bboxes, png)
+    outputs = [png]
+    if pred_bboxes is not None and len(pred_bboxes):
+        obj = os.path.join(out_dir, f'{filename}_pred.obj')
+        export_obj(np.asarray(pred_bboxes), obj)
+        outputs.append(obj)
+    if gt_bboxes is not None and len(gt_bboxes):
+        obj = os.path.join(out_dir, f'{filename}_gt.obj')
+        export_obj(np.asarray(gt_bboxes), obj)
+        outputs.append(obj)
+    return outputs

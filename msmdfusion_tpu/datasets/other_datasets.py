@@ -30,10 +30,13 @@ class WaymoDataset(KittiDataset):
         if load_interval > 1:
             self.data_infos = self.data_infos[::load_interval]
 
-    def evaluate(self, results, metric='bev', iou_thr=(0.7, 0.5, 0.5),
+    def evaluate(self, results, metric='kitti', iou_thr=(0.7, 0.5, 0.5),
                  **kwargs):
-        # LET-style / devkit evaluation needs waymo-open-dataset (not
-        # bundled); BEV AP-R40 is the built-in proxy.
+        # The official LET metrics need waymo-open-dataset (not bundled;
+        # reference waymo_utils/prediction_kitti_to_waymo.py:261 converts
+        # to protos for it). Waymo infos are KITTI-format, so the full
+        # difficulty-bucketed KITTI protocol runs natively; BEV AP-R40 is
+        # the minimal fallback.
         return super().evaluate(results, metric=metric, iou_thr=iou_thr)
 
 
@@ -85,3 +88,63 @@ class ScanNetDataset(_IndoorDataset):
 class SUNRGBDDataset(_IndoorDataset):
     CLASSES = ('bed', 'table', 'sofa', 'chair', 'toilet', 'desk', 'dresser',
                'night_stand', 'bookshelf', 'bathtub')
+
+
+# wire the indoor protocol into both indoor readers (reference
+# scannet/sunrgbd datasets call indoor_eval with iou_thr (0.25, 0.5))
+def _indoor_evaluate(self, results, iou_thr=(0.25, 0.5), **kwargs):
+    from ..core.evaluation.indoor_eval import indoor_eval
+    gts = [self.get_ann_info(i) for i in range(len(results))]
+    return indoor_eval(gts, results, iou_thr, list(self.CLASSES))
+
+
+_IndoorDataset.evaluate = _indoor_evaluate
+
+
+def _lyft_evaluate(self, results, **kwargs):
+    """Lyft-protocol mAP over IoU 0.5:0.05:0.95 (reference lyft_eval)."""
+    from ..core.evaluation.lyft_seg_eval import lyft_eval_native
+    gts = []
+    for i in range(len(results)):
+        ann = self.get_ann_info(i)
+        gts.append(dict(gt_bboxes_3d=ann['gt_bboxes_3d'],
+                        gt_labels_3d=ann['gt_labels_3d']))
+    return lyft_eval_native(gts, results, list(self.CLASSES))
+
+
+LyftDataset.evaluate = _lyft_evaluate
+
+
+@DATASETS.register('SemanticKittiDataset')
+class SemanticKittiDataset(Custom3DDataset):
+    """Semantic segmentation shell (reference semantickitti_dataset.py);
+    evaluates with the confusion-matrix seg protocol."""
+    CLASSES = ('unlabeled', 'car', 'bicycle', 'motorcycle', 'truck', 'bus',
+               'person', 'bicyclist', 'motorcyclist', 'road', 'parking',
+               'sidewalk', 'other-ground', 'building', 'fence', 'vegetation',
+               'trunck', 'terrian', 'pole', 'traffic-sign')
+
+    def get_data_info(self, index):
+        info = self.data_infos[index]
+        return dict(sample_idx=index,
+                    pts_filename=os.path.join(
+                        self.data_root, info.get('pts_path', '')),
+                    pts_semantic_mask_path=os.path.join(
+                        self.data_root, info.get('pts_semantic_mask_path',
+                                                 '')),
+                    sweeps=[], timestamp=0)
+
+    def evaluate(self, results, **kwargs):
+        """results[i]: {'semantic_mask': [N] predicted labels}."""
+        from ..core.evaluation.lyft_seg_eval import seg_eval
+        gts, preds = [], []
+        for i, res in enumerate(results):
+            info = self.data_infos[i]
+            mask_path = os.path.join(self.data_root,
+                                     info.get('pts_semantic_mask_path', ''))
+            gts.append(np.fromfile(mask_path, dtype=np.int32)
+                       if os.path.exists(mask_path)
+                       else np.asarray(res.get('gt_semantic_mask', [])))
+            preds.append(np.asarray(res['semantic_mask']))
+        label2cat = dict(enumerate(self.CLASSES))
+        return seg_eval(gts, preds, label2cat)

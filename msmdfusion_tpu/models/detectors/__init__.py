@@ -8,3 +8,4 @@ from .voxelnet import CenterPoint, DynamicVoxelNet, VoxelNet
 __all__ = ['CenterPoint', 'DynamicVoxelNet', 'H3DNet', 'ImVoteNet',
            'MSMDFusionDetector', 'MVXFasterRCNN', 'PartA2', 'SSD3DNet',
            'SPPModule', 'TransFusionDetector', 'VoteNet', 'VoxelNet']
+from .mvx_two_stage import MVXTwoStageDetector, aug_test_detector  # noqa: F401,E501

@@ -113,3 +113,122 @@ class PillarFeatureNet(nn.Module):
             x = PFNLayer(c, last_layer=(i == n - 1))(x, point_mask,
                                                      train=train)
         return x  # [V, C]
+
+
+@VOXEL_ENCODERS.register('HardVFE')
+class HardVFE(nn.Module):
+    """Hard VFE with feature augmentation + stacked VFE layers.
+
+    Reference: mmdet3d/models/voxel_encoders/voxel_encoder.py:289-491
+    (HardVFE): augment per-point features with the cluster-center offset,
+    voxel-center offset and/or distance, run Dense+BN+ReLU VFE layers with
+    per-voxel maxpool concat between layers, and maxpool to voxel features.
+    """
+    in_channels: int = 4
+    feat_channels: Sequence[int] = (64,)
+    with_distance: bool = False
+    with_cluster_center: bool = True
+    with_voxel_center: bool = True
+    voxel_size: Sequence[float] = (0.2, 0.2, 4)
+    point_cloud_range: Sequence[float] = (0, -40, -3, 70.4, 40, 1)
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coors=None, train: bool = False):
+        """voxels [V, P, D], num_points [V], coors [V, 4] (b, z, y, x)."""
+        v, p, _ = voxels.shape
+        mask = (jnp.arange(p)[None, :] < num_points[:, None])
+        feats = [voxels]
+        if self.with_cluster_center:
+            mean = (voxels[..., :3] * mask[..., None]).sum(1) / jnp.maximum(
+                num_points[:, None], 1)
+            feats.append(voxels[..., :3] - mean[:, None, :])
+        if self.with_voxel_center:
+            vs = jnp.asarray(self.voxel_size)
+            pcr = jnp.asarray(self.point_cloud_range[:3])
+            # coors are (batch, z, y, x); centers from the x/y/z indices
+            ctr = (coors[:, [3, 2, 1]].astype(voxels.dtype) + 0.5) * vs + pcr
+            feats.append(voxels[..., :3] - ctr[:, None, :])
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(voxels[..., :3], axis=-1,
+                                         keepdims=True))
+        x = jnp.concatenate(feats, axis=-1) * mask[..., None]
+        n_layers = len(self.feat_channels)
+        for i, ch in enumerate(self.feat_channels):
+            x = nn.Dense(ch, use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3)(x.reshape(-1, ch)).reshape(
+                v, p, ch)
+            x = nn.relu(x)
+            x = jnp.where(mask[..., None], x, 0)
+            if i != n_layers - 1:
+                vmax = jnp.max(jnp.where(mask[..., None], x, -jnp.inf),
+                               axis=1)
+                vmax = jnp.where(jnp.isfinite(vmax), vmax, 0)
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(vmax[:, None], x.shape)], axis=-1)
+        out = jnp.max(jnp.where(mask[..., None], x, -jnp.inf), axis=1)
+        return jnp.where(jnp.isfinite(out), out, 0)
+
+
+@VOXEL_ENCODERS.register('DynamicVFE')
+class DynamicVFE(nn.Module):
+    """Dynamic VFE: per-point MLP + voxel scatter with feature augmentation.
+
+    Reference voxel_encoder.py:89-288 (DynamicVFE): points carry their
+    voxel assignment (no per-voxel cap); each layer concatenates the point
+    feature with its voxel's pooled feature (gather-back), the scatter/
+    gather pair being the DynamicScatter op.
+    """
+    in_channels: int = 4
+    feat_channels: Sequence[int] = (64,)
+    with_distance: bool = False
+    with_cluster_center: bool = True
+    with_voxel_center: bool = True
+    voxel_size: Sequence[float] = (0.2, 0.2, 4)
+    point_cloud_range: Sequence[float] = (0, -40, -3, 70.4, 40, 1)
+    mode: str = 'max'
+
+    @nn.compact
+    def __call__(self, points, coords_zyx, valid, max_voxels: int,
+                 train: bool = False):
+        """points [N, D], coords_zyx [N, 3] voxel coords, valid [N].
+
+        Returns (voxel_feats [V, C], voxel_coors [V, 3], voxel_valid [V]).
+        """
+        from ...ops.voxelize import dynamic_scatter
+        pcr = self.point_cloud_range
+        grid = (int(round((pcr[5] - pcr[2]) / self.voxel_size[2])),
+                int(round((pcr[4] - pcr[1]) / self.voxel_size[1])),
+                int(round((pcr[3] - pcr[0]) / self.voxel_size[0])))
+        feats = [points]
+        if self.with_cluster_center:
+            mean, _, _, p2v = dynamic_scatter(
+                points[:, :3], coords_zyx, valid, grid, max_voxels, 'mean')
+            safe = jnp.maximum(p2v, 0)
+            feats.append(points[:, :3] - jnp.where(
+                (p2v >= 0)[:, None], mean[safe], 0))
+        if self.with_voxel_center:
+            vs = jnp.asarray(self.voxel_size)
+            org = jnp.asarray(pcr[:3])
+            ctr = (coords_zyx[:, [2, 1, 0]].astype(points.dtype) + 0.5) \
+                * vs + org
+            feats.append(points[:, :3] - ctr)
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(points[:, :3], axis=-1,
+                                         keepdims=True))
+        x = jnp.concatenate(feats, axis=-1) * valid[:, None]
+        n_layers = len(self.feat_channels)
+        vfeats = vcoors = vvalid = None
+        for i, ch in enumerate(self.feat_channels):
+            x = nn.Dense(ch, use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3)(x)
+            x = nn.relu(x) * valid[:, None]
+            vfeats, vcoors, vvalid, p2v = dynamic_scatter(
+                x, coords_zyx, valid, grid, max_voxels, self.mode)
+            if i != n_layers - 1:
+                safe = jnp.maximum(p2v, 0)
+                x = jnp.concatenate(
+                    [x, jnp.where((p2v >= 0)[:, None], vfeats[safe], 0)],
+                    axis=-1)
+        return vfeats, vcoors, vvalid

@@ -19,8 +19,9 @@ def _checkpointer():
 
 
 def save_checkpoint(work_dir: str, step: int, params, batch_stats,
-                    opt_state=None, meta: Optional[Dict[str, Any]] = None):
-    path = os.path.abspath(os.path.join(work_dir, f'ckpt_{step}'))
+                    opt_state=None, meta: Optional[Dict[str, Any]] = None,
+                    name: Optional[str] = None):
+    path = os.path.abspath(os.path.join(work_dir, name or f'ckpt_{step}'))
     state = {'params': params, 'batch_stats': batch_stats, 'step': step}
     if opt_state is not None:
         state['opt_state'] = opt_state

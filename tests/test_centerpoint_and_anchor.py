@@ -134,3 +134,134 @@ def test_anchor_voxelnet_forward_loss_decode(rng):
                          jnp.ones((1, 2), bool), method=VoxelNet.loss)
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_free_anchor_head_loss_and_decode(rng):
+    """FreeAnchor bag losses: finite, positive, and sensitive to gt fit
+    (reference free_anchor3d_head.py:43-245)."""
+    import jax
+    import jax.numpy as jnp
+    from msmdfusion_tpu.models.heads.free_anchor3d_head import \
+        FreeAnchor3DHead
+
+    pcr = [-4.8, -4.8, -4.0, 4.8, 4.8, 4.0]
+    head = FreeAnchor3DHead(
+        num_classes=3, in_channels=16, feat_channels=16,
+        pre_anchor_topk=8, bbox_thr=0.3,
+        anchor_generator=dict(
+            type='Anchor3DRangeGenerator',
+            ranges=[[-4.8, -4.8, -1.0, 4.8, 4.8, -1.0]],
+            sizes=[[1.6, 3.9, 1.56]], rotations=[0, 1.57]),
+        bbox_coder=dict(type='DeltaXYZWLHRBBoxCoder'),
+        loss_cls=dict(gamma=2.0, alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(beta=0.111, loss_weight=1.0),
+        loss_dir=dict(loss_weight=0.2),
+        train_cfg=dict(pos_iou_thr=0.6, neg_iou_thr=0.45, min_pos_iou=0.3,
+                       code_weight=[1.0] * 7),
+        test_cfg=dict(score_thr=0.05, nms_thr=0.2, nms_pre=100, max_num=20))
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), x)
+    preds = head.apply(variables, x)
+    g = 4
+    gt = np.zeros((2, g, 7), np.float32)
+    gt[..., :2] = rng.uniform(-4, 4, (2, g, 2))
+    gt[..., 2] = -1.0
+    gt[..., 3:6] = rng.uniform(1.0, 2.5, (2, g, 3))
+    losses = head.apply(variables, preds, jnp.asarray(gt),
+                        jnp.asarray(rng.randint(0, 3, (2, g))),
+                        jnp.ones((2, g), bool), method=FreeAnchor3DHead.loss)
+    assert set(losses) == {'positive_bag_loss', 'negative_bag_loss'}
+    for v in losses.values():
+        assert np.isfinite(float(v)) and float(v) >= 0
+    # masking: all-invalid gts -> zero positive loss
+    losses0 = head.apply(variables, preds, jnp.asarray(gt),
+                         jnp.asarray(rng.randint(0, 3, (2, g))),
+                         jnp.zeros((2, g), bool),
+                         method=FreeAnchor3DHead.loss)
+    assert float(losses0['positive_bag_loss']) == 0.0
+    # decode path inherited from Anchor3DHead still works
+    dets = head.apply(variables, preds, method=FreeAnchor3DHead.get_bboxes)
+    assert dets['boxes'].shape[0] == 2
+
+
+def test_shape_aware_head_forward_loss_decode(rng):
+    """Per-group sub-heads with different strides, concatenated anchors
+    (reference shape_aware_head.py:139-482)."""
+    import jax
+    import jax.numpy as jnp
+    from msmdfusion_tpu.models.heads.shape_aware_head import ShapeAwareHead
+
+    head = ShapeAwareHead(
+        tasks=(dict(num_class=1, shared_conv_channels=(16, 16),
+                    shared_conv_strides=(1, 1)),
+               dict(num_class=2, shared_conv_channels=(16, 16),
+                    shared_conv_strides=(2, 1))),
+        num_classes=3, in_channels=16,
+        anchor_generator=dict(
+            type='AlignedAnchor3DRangeGenerator',
+            ranges=[[-4.8, -4.8, -1.0, 4.8, 4.8, -1.0]] * 3,
+            sizes=[[1.6, 3.9, 1.56], [0.6, 0.8, 1.7], [0.6, 1.8, 1.6]],
+            rotations=[0, 1.57]),
+        bbox_coder=dict(type='DeltaXYZWLHRBBoxCoder'),
+        loss_cls=dict(gamma=2.0, alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(beta=0.111, loss_weight=2.0),
+        loss_dir=dict(loss_weight=0.2),
+        train_cfg=dict(pos_iou_thr=0.5, neg_iou_thr=0.35, min_pos_iou=0.2),
+        test_cfg=dict(score_thr=0.05, nms_thr=0.2, nms_pre=100, max_num=20))
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), x)
+    preds = head.apply(variables, x)
+    # group 1: 8x8 grid x 2 rots x 1 size; group 2: 4x4 grid x 2 x 2
+    assert preds['cls_score'].shape == (2, 8 * 8 * 2 + 4 * 4 * 4, 3)
+    assert preds['featmap_sizes'] == ((8, 8), (4, 4))
+    g = 4
+    gt = np.zeros((2, g, 7), np.float32)
+    gt[..., :2] = rng.uniform(-4, 4, (2, g, 2))
+    gt[..., 2] = -1.0
+    gt[..., 3:6] = rng.uniform(0.8, 2.5, (2, g, 3))
+    losses = head.apply(variables, preds, jnp.asarray(gt),
+                        jnp.asarray(rng.randint(0, 3, (2, g))),
+                        jnp.ones((2, g), bool), method=ShapeAwareHead.loss)
+    for k in ('loss_cls', 'loss_bbox', 'loss_dir'):
+        assert np.isfinite(float(losses[k])), k
+    dets = head.apply(variables, preds, method=ShapeAwareHead.get_bboxes)
+    assert dets['boxes'].shape[0] == 2
+
+
+def test_parta2_rpn_head_proposals(rng):
+    """Class-agnostic proposal NMS keeps the top scored boxes
+    (reference parta2_rpn_head.py:126-311)."""
+    import jax
+    import jax.numpy as jnp
+    from msmdfusion_tpu.models.heads.parta2_rpn_head import PartA2RPNHead
+
+    head = PartA2RPNHead(
+        num_classes=3, in_channels=16, feat_channels=16,
+        anchor_generator=dict(
+            type='Anchor3DRangeGenerator',
+            ranges=[[-4.8, -4.8, -1.0, 4.8, 4.8, -1.0]],
+            sizes=[[1.6, 3.9, 1.56]], rotations=[0, 1.57]),
+        bbox_coder=dict(type='DeltaXYZWLHRBBoxCoder'),
+        loss_cls=dict(gamma=2.0, alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(beta=0.111, loss_weight=2.0),
+        loss_dir=dict(loss_weight=0.2),
+        train_cfg=dict(pos_iou_thr=0.5, neg_iou_thr=0.35, min_pos_iou=0.2),
+        test_cfg=dict(score_thr=0.0, nms_thr=0.8, nms_pre=64, nms_post=16))
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), x)
+    preds = head.apply(variables, x)
+    g = 3
+    gt = np.zeros((2, g, 7), np.float32)
+    gt[..., :2] = rng.uniform(-4, 4, (2, g, 2))
+    gt[..., 2] = -1.0
+    gt[..., 3:6] = rng.uniform(1.0, 2.5, (2, g, 3))
+    losses = head.apply(variables, preds, jnp.asarray(gt),
+                        jnp.asarray(rng.randint(0, 3, (2, g))),
+                        jnp.ones((2, g), bool), method=PartA2RPNHead.loss)
+    assert {'loss_rpn_cls', 'loss_rpn_bbox', 'loss_rpn_dir'} == set(losses)
+    props = head.apply(variables, preds, method=PartA2RPNHead.get_proposals)
+    assert props['boxes'].shape == (2, 16, 7)
+    assert props['scores'].shape == (2, 16)
+    # proposals are score-sorted
+    sc = np.asarray(props['scores'])
+    assert (np.diff(sc, axis=1) <= 1e-6).all()

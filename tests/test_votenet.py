@@ -41,3 +41,47 @@ def test_votenet_forward_loss_decode(rng):
                          method=VoteNet.loss)
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_aug_test_detector_merges_flipped_views(rng):
+    """Base3DDetector.aug_test routing: flipped-view detections un-flip and
+    merge to the original-frame result (reference base.py:14-43)."""
+    import jax.numpy as jnp
+    from msmdfusion_tpu.models.detectors.mvx_two_stage import \
+        aug_test_detector
+
+    class FakeModel:
+        """simple_test echoes stored per-view detections."""
+        calls = []
+
+        def apply(self, variables, points, mask, method=None):
+            i = len(FakeModel.calls)
+            FakeModel.calls.append(i)
+            box = np.zeros((1, 1, 9), np.float32)
+            # view 0: identity; view 1: horizontally flipped frame
+            box[0, 0] = [1.0, (-2.0 if i else 2.0), 0, 1, 1, 1,
+                         (-0.5 if i else 0.5), 0.1, (-0.2 if i else 0.2)]
+            return dict(bboxes=jnp.asarray(box),
+                        scores=jnp.asarray([[0.9 - 0.1 * i]]),
+                        labels=jnp.asarray([[1]]),
+                        valid=jnp.asarray([[True]]))
+
+        def simple_test(self):
+            pass
+
+    model = FakeModel()
+    FakeModel.calls = []
+    views = [dict(points=None, points_mask=None, aug={}),
+             dict(points=None, points_mask=None, aug={'flip_h': True})]
+    merged = aug_test_detector(model, {}, views)
+    # both views describe the SAME physical box -> circle NMS keeps one
+    assert len(merged['scores']) == 1
+    np.testing.assert_allclose(merged['bboxes'][0][:3], [1.0, 2.0, 0],
+                               atol=1e-5)
+    np.testing.assert_allclose(merged['bboxes'][0][6], 0.5, atol=1e-5)
+
+
+def test_mvx_two_stage_registered():
+    from msmdfusion_tpu.registry import DETECTORS
+    assert 'MVXTwoStageDetector' in DETECTORS._registry or \
+        DETECTORS.get('MVXTwoStageDetector') is not None
