@@ -126,11 +126,41 @@ class ImVoteNet(nn.Module):
         head_cfg['test_cfg'] = dict(self.test_cfg) if self.test_cfg else None
         self.head = HEADS.build(head_cfg)
         from ..layers import MLP
+        from ..fusion_layers import VoteFusion
         self.img_proj = MLP((128,), final_act=True, name='img_proj')
+        self.vote_fusion = VoteFusion(
+            num_classes=int(dict(self.bbox_head).get('num_classes', 10)),
+            max_imvote_per_pixel=3, name='vote_fusion')
+        self.cue_proj = MLP((128,), final_act=True, name='cue_proj')
 
     def __call__(self, points, points_mask, img=None, metas=None,
                  train: bool = False):
         feat_dict = self.backbone_net(points, points_mask, train=train)
+        metas = metas or {}
+        if img is not None and 'bboxes_2d' in metas:
+            # real ImVoteNet path: lift 2D detections into per-seed vote
+            # cues (reference imvotenet.py + VoteFusion, vote_fusion.py:12)
+            b = img.shape[0]
+            seeds = feat_dict['fp_xyz']                      # [B, S, 3]
+            s = seeds.shape[1]
+            cues_all = []
+            for bi in range(b):
+                cues, mask = self.vote_fusion(
+                    img[bi, 0] if img.ndim == 5 else img[bi],
+                    metas['bboxes_2d'][bi], metas['bbox_valid'][bi],
+                    seeds[bi], metas['depth2img'][bi],
+                    (img.shape[-3], img.shape[-2]))
+                k = self.vote_fusion.max_imvote_per_pixel
+                # [feat, K*S] -> per-seed mean over the K votes
+                per_seed = cues.T.reshape(k, s, -1)
+                m = mask.reshape(k, s, 1).astype(per_seed.dtype)
+                pooled = (per_seed * m).sum(0) / jnp.maximum(m.sum(0), 1)
+                cues_all.append(pooled)
+            cue_feats = self.cue_proj(jnp.stack(cues_all))
+            feat_dict = dict(feat_dict)
+            feat_dict['fp_features'] = jnp.concatenate(
+                [feat_dict['fp_features'], cue_feats], axis=-1)
+            return self.head(feat_dict, train=train)
         if img is not None and self.backbone_img is not None:
             from ..fusion_layers import project_points_to_image
             b = img.shape[0]

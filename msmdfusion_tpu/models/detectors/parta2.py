@@ -47,6 +47,12 @@ class PartA2(nn.Module):
                                 if self.train_cfg else None)
         roi_cfg['test_cfg'] = dict((self.test_cfg or {}).get('rcnn', {}))
         self.roi = HEADS.build(roi_cfg)
+        # pointwise semantic branch: seg score + intra-object part coords
+        # (reference PointwiseSemanticHead, part_aggregation_roi_head
+        # _semantic_forward_train :296-316)
+        self.seg_fc = nn.Dense(64, name='semantic_fc')
+        self.seg_out = nn.Dense(1, name='semantic_seg')
+        self.part_out = nn.Dense(3, name='semantic_part')
 
     def __call__(self, points, points_mask, train: bool = False):
         vl = self.pts_voxel_layer
@@ -77,20 +83,32 @@ class PartA2(nn.Module):
         # loop over the small batch)
         vl_size = jnp.asarray(vl['voxel_size'])
         pcr = jnp.asarray(vl['point_cloud_range'][:3])
+        # pointwise semantic predictions feed the part-aware RoI pooling
+        sem = jnp.maximum(self.seg_fc(seg.features), 0)
+        seg_logit = self.seg_out(sem)                       # [P, 1]
+        part_reg = jax.nn.sigmoid(self.part_out(sem))       # [P, 3]
+        part_feats = jnp.concatenate(
+            [part_reg, jax.nn.sigmoid(seg_logit)], axis=-1)
+        centers = (seg.coords[:, 1:][:, ::-1].astype(jnp.float32) + 0.5) \
+            * vl_size + pcr
         roi_outs = []
         for bi in range(b):
             sel = seg.coords[:, 0] == bi
-            centers = (seg.coords[:, 1:][:, ::-1].astype(jnp.float32) + 0.5) \
-                * vl_size + pcr
             roi_outs.append(self.roi(
                 centers, seg.features, seg.valid & sel, rois[bi],
-                roi_valid[bi], train=train))
+                roi_valid[bi], part_feats=part_feats, train=train))
         roi_out = {key: jnp.stack([r[key] for r in roi_outs])
                    for key in roi_outs[0]}
-        return {'rpn': rpn_out, 'roi': roi_out}
+        return {'rpn': rpn_out, 'roi': roi_out,
+                'semantic': {'seg_logit': seg_logit, 'part_reg': part_reg,
+                             'centers': centers,
+                             'coords_b': seg.coords[:, 0],
+                             'valid': seg.valid}}
 
     def loss(self, preds, gt_bboxes, gt_labels, gt_valid):
         losses = self.rpn.loss(preds['rpn'], gt_bboxes, gt_labels, gt_valid)
+        losses.update(self._semantic_loss(preds['semantic'], gt_bboxes,
+                                          gt_valid))
         b = gt_bboxes.shape[0]
         roi_losses = []
         for bi in range(b):
@@ -100,6 +118,43 @@ class PartA2(nn.Module):
         for key in roi_losses[0]:
             losses[key] = sum(r[key] for r in roi_losses) / b
         return losses
+
+    def _semantic_loss(self, sem, gt_bboxes, gt_valid):
+        """Auxiliary seg/part supervision (reference
+        PointwiseSemanticHead.loss): voxel centers inside a gt box are
+        foreground; their part target is the normalized intra-box coord."""
+        from ...core.boxes import points_in_rbbox
+        from ..losses import binary_cross_entropy, smooth_l1_loss
+        centers = sem['centers']
+        b = gt_bboxes.shape[0]
+        seg_losses, part_losses = [], []
+        for bi in range(b):
+            valid = sem['valid'] & (sem['coords_b'] == bi)
+            boxes = gt_bboxes[bi][..., :7]
+            inside = points_in_rbbox(centers, boxes)        # [P, G]
+            inside = inside & gt_valid[bi][None, :] & valid[:, None]
+            fg = jnp.any(inside, axis=1)
+            box_id = jnp.argmax(inside, axis=1)
+            box = jnp.take(boxes, box_id, axis=0)           # [P, 7]
+            local = centers - box[:, :3]
+            c, s = jnp.cos(-box[:, 6]), jnp.sin(-box[:, 6])
+            lx = local[:, 0] * c - local[:, 1] * s
+            ly = local[:, 0] * s + local[:, 1] * c
+            lz = local[:, 2]
+            part_tgt = jnp.stack(
+                [lx / jnp.maximum(box[:, 3], 1e-3) + 0.5,
+                 ly / jnp.maximum(box[:, 4], 1e-3) + 0.5,
+                 lz / jnp.maximum(box[:, 5], 1e-3)], axis=-1)
+            part_tgt = jnp.clip(part_tgt, 0, 1)
+            seg_l = binary_cross_entropy(sem['seg_logit'][:, 0],
+                                         fg.astype(jnp.float32))
+            seg_losses.append(jnp.where(valid, seg_l, 0).sum()
+                              / jnp.maximum(valid.sum(), 1))
+            part_l = smooth_l1_loss(sem['part_reg'], part_tgt).sum(-1)
+            part_losses.append(jnp.where(fg, part_l, 0).sum()
+                               / jnp.maximum(fg.sum(), 1))
+        return {'loss_semantic_seg': sum(seg_losses) / b,
+                'loss_semantic_part': sum(part_losses) / b}
 
     def get_bboxes(self, preds):
         b = preds['roi']['rois'].shape[0]

@@ -59,8 +59,8 @@ from .tensor import INT_MAX, SparseTensor, pack_keys
 # shifted key windows. Overflow beyond the slab is dropped deterministically
 # (fixed-capacity semantics, like every other cap in this framework);
 # plan_slab_spans() reports the true max for capacity planning / tests.
-DEFAULT_SLAB = 2048
-DEFAULT_TILE = 512
+DEFAULT_SLAB = int(os.environ.get('MSMD_CONV_SLAB', 2048))
+DEFAULT_TILE = int(os.environ.get('MSMD_CONV_TILE', 512))
 
 
 def _env_backend() -> str:

@@ -131,3 +131,51 @@ def test_h3dnet_forward_loss_decode(rng):
 
     out = model.apply(variables, preds, method=type(model).get_bboxes)
     assert out['bboxes'].shape == (1, 8, 7)
+
+
+def test_imvotenet_vote_fusion_path(rng):
+    """ImVoteNet with 2D detections: VoteFusion cues concatenate into the
+    seed features (reference imvotenet.py + vote_fusion.py:12-212)."""
+    import jax
+    import jax.numpy as jnp
+    from msmdfusion_tpu.models.detectors import ImVoteNet
+
+    model = ImVoteNet(
+        backbone=dict(type='PointNet2SASSG', in_channels=4,
+                      num_points=(64, 32), radius=(0.4, 0.8),
+                      num_samples=(8, 8), sa_channels=((16, 16), (16, 32)),
+                      fp_channels=((32, 16),)),
+        bbox_head=dict(
+            type='VoteHead', num_classes=4, in_channels=16 + 128,
+            num_proposals=16, num_dir_bins=6,
+            mean_sizes=[[0.5, 0.5, 0.5]] * 4,
+            aggregation_radius=0.5, aggregation_samples=8),
+        train_cfg=dict(pos_distance_thr=0.3, neg_distance_thr=0.6),
+        test_cfg=dict(score_thr=0.05))
+    b, n = 2, 256
+    pts = jnp.asarray(rng.uniform(-2, 2, (b, n, 4)).astype(np.float32))
+    mask = jnp.ones((b, n), bool)
+    img = jnp.asarray(rng.randint(0, 255, (b, 64, 96, 3)).astype(np.float32))
+    nb = 5
+    boxes2d = np.zeros((b, nb, 6), np.float32)
+    boxes2d[..., :2] = rng.uniform(0, 60, (b, nb, 2))
+    boxes2d[..., 2:4] = boxes2d[..., :2] + rng.uniform(10, 30, (b, nb, 2))
+    boxes2d[..., 4] = rng.uniform(0.3, 0.9, (b, nb))
+    boxes2d[..., 5] = rng.randint(0, 4, (b, nb))
+    boxes2d[:, 0] = [0, 0, 96, 64, 0.9, 1]   # covers the whole image
+    k_mat = np.tile(np.array(
+        [[60.0, 0, 48, 0], [0, 60, 32, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32)[None], (b, 1, 1))
+    metas = dict(bboxes_2d=jnp.asarray(boxes2d),
+                 bbox_valid=jnp.ones((b, nb), bool),
+                 depth2img=jnp.asarray(k_mat))
+    variables = model.init(jax.random.PRNGKey(0), pts, mask, img, metas)
+    preds = model.apply(variables, pts, mask, img, metas)
+    assert preds['center'].shape == (b, 16, 3)
+    res = model.apply(variables, preds, method=ImVoteNet.get_bboxes)
+    assert np.isfinite(np.asarray(res['bboxes'])).all()
+    # cue path is live: zero-confidence boxes change the forward
+    metas0 = dict(metas, bbox_valid=jnp.zeros((b, nb), bool))
+    preds0 = model.apply(variables, pts, mask, img, metas0)
+    assert np.abs(np.asarray(preds['obj_scores'])
+                  - np.asarray(preds0['obj_scores'])).max() > 1e-6

@@ -44,8 +44,11 @@ def test_parta2_forward_loss_decode(rng):
             loss_dir=dict(loss_weight=0.2)),
         roi_head=dict(
             type='PartAggregationROIHead', num_classes=3,
-            roi_grid=(4, 4, 4), in_channels=4, conv_channels=(8,),
-            fc_channels=(16,)),
+            roi_grid=(4, 4, 4), in_channels=4,
+            seg_conv_channels=(8,), part_conv_channels=(8,),
+            merge_conv_channels=(8,), down_conv_channels=(8,),
+            shared_fc_channels=(16,), cls_channels=(16,),
+            reg_channels=(16,)),
         num_proposals=8,
         train_cfg=dict(rpn=dict(pos_iou_thr=0.5, neg_iou_thr=0.35,
                                 min_pos_iou=0.3), rcnn=dict()),

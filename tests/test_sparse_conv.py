@@ -152,3 +152,26 @@ def test_to_dense_bev(rng):
     # channel index = c*D + d
     expected = np.transpose(dense, (0, 2, 3, 4, 1)).reshape(2, 4, 4, 6)
     np.testing.assert_allclose(bev, expected)
+
+
+def test_lookup_sorted_pair_matches_table_lookup(rng):
+    """Merge-based mutual lookup == hash-table lookup on sorted key sets
+    (replaces modality_split's dense tables)."""
+    import jax.numpy as jnp
+    from msmdfusion_tpu.ops.sparse.tensor import (INT_MAX,
+                                                  lookup_sorted_pair)
+    a = np.unique(rng.randint(0, 5000, 300)).astype(np.int32)
+    b = np.unique(rng.randint(0, 5000, 200)).astype(np.int32)
+    # pad with INT_MAX invalid rows like real tensors
+    a_full = np.concatenate([a, np.full(50, INT_MAX, np.int32)])
+    b_full = np.concatenate([b, np.full(30, INT_MAX, np.int32)])
+    rb, ra = lookup_sorted_pair(jnp.asarray(a_full), jnp.asarray(b_full))
+    rb, ra = np.asarray(rb), np.asarray(ra)
+    b_index = {int(k): i for i, k in enumerate(b)}
+    a_index = {int(k): i for i, k in enumerate(a)}
+    for i, k in enumerate(a):
+        assert rb[i] == b_index.get(int(k), -1)
+    for j, k in enumerate(b):
+        assert ra[j] == a_index.get(int(k), -1)
+    # padded rows never match
+    assert (rb[len(a):] == -1).all() and (ra[len(b):] == -1).all()
