@@ -280,25 +280,19 @@ def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
     cz, cy, cx = vz.shape[1], vy.shape[1], vx.shape[1]
     k_in = st.capacity
     b = st.coords[:, 0]
-    # cartesian product of axis candidates -> [K_in, cz*cy*cx]
+    # cartesian product of axis candidates -> [K_in, cz, cy, cx]; the key is
+    # computed ARITHMETICALLY from the axis parts (materializing a
+    # [K*t, 4] coord array + pack_keys cost ~40ms/iter at full scale — one
+    # fused int expression over [K, t] is a few elementwise passes)
     ozz = vz[:, :, None, None]
     oyy = vy[:, None, :, None]
     oxx = vx[:, None, None, :]
-    mzz = mz[:, :, None, None]
-    myy = my[:, None, :, None]
-    mxx = mx[:, None, None, :]
-    mask = (mzz & myy & mxx) & st.valid[:, None, None, None]
-    flat_mask = mask.reshape(k_in, -1)
-    t = flat_mask.shape[1]
-
-    cand = jnp.stack([
-        jnp.broadcast_to(b[:, None, None, None], mask.shape),
-        jnp.broadcast_to(ozz, mask.shape),
-        jnp.broadcast_to(oyy, mask.shape),
-        jnp.broadcast_to(oxx, mask.shape),
-    ], axis=-1).reshape(k_in * t, 4)
-    cand_keys = pack_keys(cand, out_shape, st.batch_size,
-                          flat_mask.reshape(-1))
+    mask = (mz[:, :, None, None] & my[:, None, :, None]
+            & mx[:, None, None, :]) & st.valid[:, None, None, None]
+    cand_keys = jnp.where(
+        mask,
+        ((b[:, None, None, None] * oz + ozz) * oy + oyy) * ox + oxx,
+        INT_MAX).reshape(-1).astype(jnp.int32)
 
     skey = jnp.sort(cand_keys)
     head = jnp.concatenate(

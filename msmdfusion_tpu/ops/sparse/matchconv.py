@@ -123,12 +123,22 @@ def build_plan(in_keys: jax.Array, query_keys: jax.Array, inb: jax.Array,
             [inb, jnp.zeros((k_pad - k_out, ta), bool)], axis=0)
     n_tiles = k_pad // tile
     # slab bracket starts: rank of each tile's first query per tap, plus a
-    # terminal K_in. (n_tiles+1) x Ta binary searches — thousands, not
-    # millions; this is the only searchsorted left on the conv path.
+    # terminal K_in. The vmapped searchsorted lowered to a 22ms/iter while
+    # loop at full scale; two stable sorts give the same side='left' ranks:
+    # with queries placed BEFORE the keys, ties keep queries first, so
+    # position-in-merged minus position-among-queries = #keys strictly < q.
     firsts = query_keys[::tile, :]                       # [n_tiles, Ta]
-    starts = jax.vmap(
-        lambda q: jnp.searchsorted(in_keys, q, side='left'),
-        in_axes=1, out_axes=0)(firsts).astype(jnp.int32)  # [Ta, n_tiles]
+    q_flat = firsts.T.reshape(-1)                        # [Ta * n_tiles]
+    nq = q_flat.shape[0]
+    q_order = jnp.argsort(q_flat, stable=True)
+    q_sorted = q_flat[q_order]
+    cat = jnp.concatenate([q_sorted, in_keys])
+    order = jnp.argsort(cat, stable=True)
+    inv = jnp.zeros((cat.shape[0],), jnp.int32).at[order].set(
+        jnp.arange(cat.shape[0], dtype=jnp.int32))
+    rank = inv[:nq] - jnp.arange(nq, dtype=jnp.int32)
+    starts_flat = jnp.zeros((nq,), jnp.int32).at[q_order].set(rank)
+    starts = starts_flat.reshape(ta, n_tiles)
     starts = jnp.concatenate(
         [starts, jnp.full((ta, 1), in_keys.shape[0], jnp.int32)], axis=1)
     return MatchPlan(queries=query_keys, inb=inb, starts=starts, kx=kx,

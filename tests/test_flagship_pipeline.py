@@ -243,3 +243,34 @@ def test_flagship_train_cli_two_steps(multimodal_dataset):
     assert proc.returncode == 0, proc.stderr[-3000:]
     log = (work_dir / 'train.log').read_text()
     assert 'total_loss' in log
+
+
+def test_validate_foreground_artifacts(tmp_path, rng):
+    """create_data --validate-foreground checks the MDU artifact layout
+    (reference README.md:44 downloadable FOREGROUND_MIXED_6NN_WITH_DEPTH)."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, 'tools'))
+    import importlib
+    create_data = importlib.import_module('create_data')
+    d = tmp_path / 'samples' / 'LIDAR_TOP'
+    fg_dir = tmp_path / 'samples' / 'FOREGROUND_MIXED_6NN_WITH_DEPTH'
+    fg_dir.mkdir(parents=True)
+    info = dict(
+        virtual_pixel_indices=[rng.rand(10, 14).astype(np.float32)
+                               for _ in range(6)],
+        real_pixel_indices=[rng.rand(7, 14).astype(np.float32)
+                            for _ in range(6)],
+        virtual_points=[rng.rand(10, 3).astype(np.float32)
+                        for _ in range(6)],
+        real_points=[rng.rand(7, 3).astype(np.float32) for _ in range(6)])
+    np.save(str(fg_dir / 'sample0.bin.pkl.npy'),
+            np.asarray(info, dtype=object), allow_pickle=True)
+    n = create_data.validate_foreground_artifacts(str(tmp_path))
+    assert n == 1
+    # corrupt artifact: missing key must raise
+    del info['real_points']
+    np.save(str(fg_dir / 'sample1.bin.pkl.npy'),
+            np.asarray(info, dtype=object), allow_pickle=True)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        create_data.validate_foreground_artifacts(str(tmp_path))

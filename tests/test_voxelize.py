@@ -114,3 +114,19 @@ def test_voxelize_batch_shapes(rng):
     coors = np.asarray(coors)
     valid = np.asarray(valid)
     assert set(np.unique(coors[valid][:, 0])) <= {0, 1}
+
+
+def test_cpu_voxel_generator_matches_oracle(rng):
+    """core.voxel_generator.VoxelGenerator == the per-point FCFS oracle
+    (reference voxel_generator.py:85-279)."""
+    from msmdfusion_tpu.core.voxel_generator import VoxelGenerator
+    pts = rng.uniform(0, 4, (500, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(0, 2, 500)
+    gen = VoxelGenerator(VOXEL_SIZE, PC_RANGE, max_num_points=5,
+                         max_voxels=64)
+    voxels, coords, nump = gen.generate(pts)
+    ov, on, oc, n = numpy_hard_voxelize(pts, VOXEL_SIZE, PC_RANGE, 5, 64)
+    assert voxels.shape[0] == min(n, 64)
+    np.testing.assert_array_equal(coords, oc[:voxels.shape[0]])
+    np.testing.assert_array_equal(nump, on[:voxels.shape[0]])
+    np.testing.assert_allclose(voxels, ov[:voxels.shape[0]], atol=1e-6)

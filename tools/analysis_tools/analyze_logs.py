@@ -13,8 +13,25 @@ from collections import defaultdict
 
 
 def parse_log(path):
+    """Parse either a .log.json line-JSON scalar log (mmcv TextLoggerHook
+    format, written by utils/log_hooks.JsonLogWriter) or the plain
+    train.log "key=value" lines."""
     metrics = defaultdict(list)
     steps = []
+    if path.endswith('.json'):
+        import json
+        for line in open(path):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get('mode') != 'train':
+                continue
+            steps.append(int(rec.get('iter', 0)))
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and k not in ('iter', 'epoch'):
+                    metrics[k].append(float(v))
+        return steps, metrics
     pattern = re.compile(r'step (\d+)/\d+ ([\d.]+) samples/s (.*)')
     for line in open(path):
         m = pattern.search(line)

@@ -27,6 +27,8 @@ def parse_args():
     p.add_argument('--out-dir', default=None)
     p.add_argument('--version', default='v1.0-trainval')
     p.add_argument('--max-sweeps', type=int, default=10)
+    p.add_argument('--validate-foreground', action='store_true',
+                   help='check FOREGROUND_MIXED_6NN_WITH_DEPTH artifacts')
     p.add_argument('--with-gt-database', action='store_true')
     return p.parse_args()
 
@@ -149,6 +151,47 @@ def create_gt_database(root_path, info_path, out_dir, classes):
     return out
 
 
+def validate_foreground_artifacts(root_path: str,
+                                  subdir='FOREGROUND_MIXED_6NN_WITH_DEPTH',
+                                  max_check: int = 20) -> int:
+    """Validate the MDU virtual-point artifact layout the LC pipeline reads.
+
+    The reference treats `FOREGROUND_MIXED_6NN_WITH_DEPTH` as a downloaded
+    artifact (README.md:44) — one `<lidar file>.pkl.npy` per keyframe
+    holding a dict with per-camera lists:
+        virtual_pixel_indices [M, 3+11] (u, v, depth, one-hot label block)
+        real_pixel_indices    [Mr, 3+11]
+        virtual_points        [M, 3] or [M, 14]
+        real_points           [Mr, 3] or [Mr, 14]
+    (consumed by datasets/pipelines/foreground.py:LoadForeground2D).
+    Returns the number of validated files.
+    """
+    import glob
+    import numpy as np
+    paths = glob.glob(os.path.join(root_path, '**', subdir, '*.pkl.npy'),
+                      recursive=True)[:max_check]
+    if not paths:
+        print(f'no {subdir} artifacts found under {root_path} — the '
+              'flagship LC pipeline needs them (see README)')
+        return 0
+    required = ('virtual_pixel_indices', 'real_pixel_indices',
+                'virtual_points', 'real_points')
+    for p in paths:
+        info = np.load(p, allow_pickle=True).item()
+        missing = [k for k in required if k not in info]
+        assert not missing, f'{p}: missing keys {missing}'
+        n_cam = len(info['virtual_pixel_indices'])
+        assert len(info['virtual_points']) == n_cam, p
+        for cam in range(n_cam):
+            vp = info['virtual_pixel_indices'][cam]
+            vpts = info['virtual_points'][cam]
+            assert vp.ndim == 2 and vp.shape[1] >= 3, (p, vp.shape)
+            assert vpts.shape[0] == vp.shape[0], (p, cam)
+    print(f'validated {len(paths)} foreground artifact files '
+          f'({n_cam} cameras each)')
+    return len(paths)
+
+
 def main():
     args = parse_args()
     out_dir = args.out_dir or args.root_path
@@ -161,6 +204,8 @@ def main():
             with open(path, 'wb') as f:
                 pickle.dump(dict(infos=infos, metadata=meta), f)
             print(f'wrote {len(infos)} infos to {path}')
+        if args.validate_foreground:
+            validate_foreground_artifacts(args.root_path)
         if args.with_gt_database:
             from msmdfusion_tpu.datasets.nuscenes import NuScenesDataset
             db = create_gt_database(
