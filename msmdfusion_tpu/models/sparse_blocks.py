@@ -16,6 +16,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.sparse.conv import downsample_out_coords, kernel_offsets
+from ..ops.sparse.dense_tail import dense_sparse_conv, use_dense
 from ..ops.sparse.matchconv import (apply_match_conv, build_downsample_plan,
                                     build_subm_plan)
 from ..ops.sparse.tensor import SparseTensor
@@ -34,6 +35,20 @@ class SubMConv3d(nn.Module):
     kernel_size: Union[int, Tuple[int, int, int]] = 3
     indice_key: Optional[str] = None
     use_bias: bool = False
+    # slab rows per (tile, tap-group) DMA in the match kernel. The default
+    # (matchconv.DEFAULT_SLAB) is a ~3x margin over the p99 bracket span at
+    # nuScenes densities; big-C convs may shrink it to halve slab DMA
+    # (span overflow drops matches deterministically — validate with
+    # plan_slab_spans before tightening).
+    slab: Optional[int] = None
+    # output rows per kernel tile and slab columns per MXU match pass. The
+    # match work per output row is ~(tile + window) columns, so BIG-C convs
+    # run fastest with a SMALL tile and a chunk wide enough to cover the
+    # whole bracket in one pass (v5e scan: C=80 tile 256/cw 512 is ~1.5x
+    # tile 512/cw 512); small-C convs are loop-overhead bound and prefer
+    # the default 512/512.
+    tile: Optional[int] = None
+    cw: Optional[int] = None
 
     @nn.compact
     def __call__(self, st: SparseTensor, cache: Dict[str, Any]):
@@ -42,13 +57,26 @@ class SubMConv3d(nn.Module):
                        (t, st.num_channels, self.out_channels))
         b = self.param('bias', nn.initializers.zeros,
                        (self.out_channels,)) if self.use_bias else None
+        if use_dense(st, self.kernel_size):
+            # coarse stages: dense-grid conv beats the match kernel and
+            # needs no plan at all
+            kz, ky, kx = ((self.kernel_size,) * 3 if isinstance(
+                self.kernel_size, int) else tuple(self.kernel_size))
+            out = dense_sparse_conv(
+                st, w, st.coords, st.valid, st.keys, st.spatial_shape,
+                self.kernel_size, 1, (kz // 2, ky // 2, kx // 2), bias=b)
+            return out, cache
         key = ('subm', self.indice_key or f'auto_{self.name}')
         plan = cache.get(key)
         if plan is None:
-            plan = build_subm_plan(st, self.kernel_size)
+            plan = build_subm_plan(st, self.kernel_size,
+                                   **({'tile': self.tile} if self.tile
+                                      else {}))
             cache[key] = plan
+        opts = {k: v for k, v in (('slab', self.slab), ('cw', self.cw))
+                if v}
         out = apply_match_conv(st, plan, w, st.coords, st.valid, st.keys,
-                               st.spatial_shape, bias=b)
+                               st.spatial_shape, bias=b, **opts)
         return out, cache
 
 
@@ -61,6 +89,9 @@ class SparseConv3d(nn.Module):
     out_capacity: Optional[int] = None  # default: same as input capacity
     indice_key: Optional[str] = None
     use_bias: bool = False
+    slab: Optional[int] = None          # see SubMConv3d.slab
+    tile: Optional[int] = None          # see SubMConv3d.tile
+    cw: Optional[int] = None
 
     @nn.compact
     def __call__(self, st: SparseTensor, cache: Dict[str, Any]):
@@ -71,19 +102,28 @@ class SparseConv3d(nn.Module):
                        (self.out_channels,)) if self.use_bias else None
         cap = self.out_capacity or st.capacity
         key = ('spconv', self.indice_key or f'auto_{self.name}')
+        dense = use_dense(st, self.kernel_size)
         entry = cache.get(key)
         if entry is None:
             out_keys, out_coords, out_valid, out_shape = \
                 downsample_out_coords(
                     st, self.kernel_size, self.stride, self.padding, cap)
-            plan = build_downsample_plan(
+            plan = None if dense else build_downsample_plan(
                 st, out_coords, out_valid, self.kernel_size, self.stride,
-                self.padding)
+                self.padding,
+                **({'tile': self.tile} if self.tile else {}))
             entry = (out_keys, out_coords, out_valid, out_shape, plan)
             cache[key] = entry
         out_keys, out_coords, out_valid, out_shape, plan = entry
+        if dense and plan is None:
+            out = dense_sparse_conv(
+                st, w, out_coords, out_valid, out_keys, out_shape,
+                self.kernel_size, self.stride, self.padding, bias=b)
+            return out, cache
+        opts = {k: v for k, v in (('slab', self.slab), ('cw', self.cw))
+                if v}
         out = apply_match_conv(st, plan, w, out_coords, out_valid, out_keys,
-                               out_shape, bias=b)
+                               out_shape, bias=b, **opts)
         return out, cache
 
 
@@ -103,6 +143,9 @@ class SparseConvBlock(nn.Module):
     norm_eps: float = 1e-3
     norm_momentum: float = 0.01
     act: Optional[str] = 'relu'
+    slab: Optional[int] = None          # see SubMConv3d.slab
+    tile: Optional[int] = None          # see SubMConv3d.tile
+    cw: Optional[int] = None
 
     @nn.compact
     def __call__(self, st: SparseTensor, cache: Dict[str, Any],
@@ -114,12 +157,14 @@ class SparseConvBlock(nn.Module):
                 if self.conv_type == 'SubMConv3d':
                     st, cache = SubMConv3d(
                         self.out_channels, self.kernel_size,
-                        indice_key=self.indice_key)(st, cache)
+                        indice_key=self.indice_key, slab=self.slab,
+                        tile=self.tile, cw=self.cw)(st, cache)
                 elif self.conv_type == 'SparseConv3d':
                     st, cache = SparseConv3d(
                         self.out_channels, self.kernel_size, self.stride,
                         self.padding, out_capacity=self.out_capacity,
-                        indice_key=self.indice_key)(st, cache)
+                        indice_key=self.indice_key, slab=self.slab,
+                        tile=self.tile, cw=self.cw)(st, cache)
                 else:
                     raise ValueError(self.conv_type)
             elif step == 'norm':
@@ -140,20 +185,25 @@ class SparseBasicBlock(nn.Module):
     indice_key: Optional[str] = None
     norm_eps: float = 1e-3
     norm_momentum: float = 0.01
+    slab: Optional[int] = None          # see SubMConv3d.slab
+    tile: Optional[int] = None          # see SubMConv3d.tile
+    cw: Optional[int] = None
 
     @nn.compact
     def __call__(self, st: SparseTensor, cache: Dict[str, Any],
                  train: bool = False):
         identity = st.features
-        st, cache = SubMConv3d(self.channels, 3,
-                               indice_key=self.indice_key)(st, cache)
+        st, cache = SubMConv3d(self.channels, 3, indice_key=self.indice_key,
+                               slab=self.slab, tile=self.tile,
+                               cw=self.cw)(st, cache)
         st = st.replace_features(
             MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)(
                 st.features, mask=st.valid, train=train))
         st = st.replace_features(
             jnp.where(st.valid[:, None], jnp.maximum(st.features, 0), 0))
-        st, cache = SubMConv3d(self.channels, 3,
-                               indice_key=self.indice_key)(st, cache)
+        st, cache = SubMConv3d(self.channels, 3, indice_key=self.indice_key,
+                               slab=self.slab, tile=self.tile,
+                               cw=self.cw)(st, cache)
         st = st.replace_features(
             MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)(
                 st.features, mask=st.valid, train=train))

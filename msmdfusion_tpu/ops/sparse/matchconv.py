@@ -60,7 +60,12 @@ from .tensor import INT_MAX, SparseTensor, pack_keys
 # (fixed-capacity semantics, like every other cap in this framework);
 # plan_slab_spans() reports the true max for capacity planning / tests.
 DEFAULT_SLAB = int(os.environ.get('MSMD_CONV_SLAB', 2048))
-DEFAULT_TILE = int(os.environ.get('MSMD_CONV_TILE', 512))
+# v5e scan (tile x cw, loop-in-jit): match work per output row is
+# ~(tile + window) slab columns, so a small tile with a bracket-covering
+# chunk wins: C=16 10.6 -> 8.3 ms, C=80 28.7 -> 19.7 ms for 512/512 ->
+# 256/512. tile 1024 and cw 256 are strictly worse.
+DEFAULT_TILE = int(os.environ.get('MSMD_CONV_TILE', 256))
+DEFAULT_CW = int(os.environ.get('MSMD_CONV_CW', 512))
 
 
 def _env_backend() -> str:
@@ -163,6 +168,13 @@ def _kx(kernel_size) -> int:
     return int(kernel_size)
 
 
+def _group_taps(kernel_size) -> int:
+    """Taps per slab group: one group per dz plane (ky * kx taps)."""
+    if isinstance(kernel_size, (tuple, list)):
+        return int(kernel_size[1]) * int(kernel_size[2])
+    return int(kernel_size) ** 2
+
+
 def build_subm_plan(st: SparseTensor, kernel_size,
                     tile: int = DEFAULT_TILE) -> MatchPlan:
     """Plan for a submanifold conv (output coords == input coords)."""
@@ -175,7 +187,11 @@ def build_subm_plan(st: SparseTensor, kernel_size,
     queries = jnp.where(st.valid[:, None],
                         st.keys[:, None] + jnp.asarray(dkey)[None, :],
                         INT_MAX).astype(jnp.int32)
-    return build_plan(st.keys, queries, inb, _kx(kernel_size), tile)
+    # one slab group per dz plane: the +-dy key shifts are one y-line
+    # (~x keys) which holds only a handful of ROWS at lidar densities, so
+    # the 9 (dy, dx) taps share a slab with a near-unchanged bracket span
+    # while issuing 3x fewer DMAs
+    return build_plan(st.keys, queries, inb, _group_taps(kernel_size), tile)
 
 
 def build_downsample_plan(st: SparseTensor, out_coords, out_valid,
@@ -208,7 +224,7 @@ def build_downsample_plan(st: SparseTensor, out_coords, out_valid,
     queries = jnp.where(out_valid[:, None],
                         base_key[:, None] + jnp.asarray(dkey)[None, :],
                         INT_MAX).astype(jnp.int32)
-    return build_plan(st.keys, queries, inb, int(kx), tile)
+    return build_plan(st.keys, queries, inb, int(ky) * int(kx), tile)
 
 
 def build_inverse_plan(st: SparseTensor, orig_coords, orig_valid,
@@ -246,12 +262,18 @@ def build_inverse_plan(st: SparseTensor, orig_coords, orig_valid,
 
 
 def plan_slab_spans(plan: MatchPlan) -> jax.Array:
-    """Max slab span per tap-group (capacity planning / overflow checks)."""
+    """Max slab span per tap-group (capacity planning / overflow checks).
+
+    Brackets of fully-invalid tiles (first query INT_MAX) are excluded:
+    they legitimately cover the whole invalid input tail but the kernel
+    skips those tiles outright, so they never consume slab capacity.
+    """
     ta = plan.num_taps
     g0 = jnp.arange(0, ta, plan.kx)
     lo = plan.starts[g0, :-1]                      # [G, n_tiles]
     hi = plan.starts[g0 + plan.kx - 1, 1:]
-    return jnp.max(hi - lo)
+    live = plan.queries[::plan.tile, 0] != INT_MAX  # [n_tiles]
+    return jnp.max(jnp.where(live[None, :], hi - lo, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -297,7 +319,7 @@ def _fallback_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
 def _match_kernel(starts_ref, q_ref, inb_ref, keys_hbm, featsT_hbm, w_ref,
                   out_ref, kslab, fslab, gall, sem_k, sem_f, *,
                   taps: int, kx: int, cin: int, slab: int, tile: int,
-                  parts: int, fuse_gall: bool):
+                  parts: int, fuse_gall: bool, cw: int, stack_taps: bool):
     """One output tile: double-buffered group slab DMAs, match, contract.
 
     featsT_hbm is the TRANSPOSED bf16 feature matrix [parts*Cin, K_pad]
@@ -316,103 +338,121 @@ def _match_kernel(starts_ref, q_ref, inb_ref, keys_hbm, featsT_hbm, w_ref,
     groups = taps // kx
     cp = cin * parts
 
-    if not fuse_gall:
-        gall[:] = jnp.zeros_like(gall)
+    # rows are key-sorted with the invalid tail (key INT_MAX) last, so a
+    # tile whose FIRST query is INT_MAX is entirely invalid: skip all DMAs
+    # and matching (at coarse stages / loose union capacities the tail is
+    # up to ~half the tiles) and just write zeros.
+    live_tile = q_ref[0, 0] != jnp.int32(INT_MAX)
 
-    def slab_start(g):
-        r0 = starts_ref[g * kx, i]
-        return pl.multiple_of((r0 // 128) * 128, 128)
+    @pl.when(jnp.logical_not(live_tile))
+    def _zero_tile():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    def dma_pair(g, slot):
-        r0a = slab_start(g)
-        return (
-            pltpu.make_async_copy(keys_hbm.at[:, pl.ds(r0a, slab)],
-                                  kslab.at[slot], sem_k.at[slot]),
-            pltpu.make_async_copy(featsT_hbm.at[:, pl.ds(r0a, slab)],
-                                  fslab.at[slot], sem_f.at[slot]))
+    @pl.when(live_tile)
+    def _run_tile():
+        if not fuse_gall:
+            gall[:] = jnp.zeros_like(gall)
 
-    for c in dma_pair(0, 0):
-        c.start()
-    for g in range(groups):
-        slot = g % 2
-        if g + 1 < groups:
-            for c in dma_pair(g + 1, (g + 1) % 2):
-                c.start()
-        for c in dma_pair(g, slot):
-            c.wait()
+        def slab_start(g):
+            r0 = starts_ref[g * kx, i]
+            return pl.multiple_of((r0 // 128) * 128, 128)
 
-        r0a = slab_start(g)
-        r_end = starts_ref[g * kx + kx - 1, i + 1]
-        cw = min(512, slab)              # chunk width (lanes per MXU pass)
-        nch = jnp.clip((r_end - r0a + cw - 1) // cw, 0, slab // cw)
+        def dma_pair(g, slot):
+            r0a = slab_start(g)
+            return (
+                pltpu.make_async_copy(keys_hbm.at[:, pl.ds(r0a, slab)],
+                                      kslab.at[slot], sem_k.at[slot]),
+                pltpu.make_async_copy(featsT_hbm.at[:, pl.ds(r0a, slab)],
+                                      fslab.at[slot], sem_f.at[slot]))
 
-        # all kx taps of the group share the slab: stack their match
-        # matrices along sublanes and contract once per chunk (kx fewer
-        # loop iterations + MXU issues — the kernel is loop-overhead bound
-        # at small Cin). The [kx*T, cp] fp32 accumulator lives on the
-        # kernel stack, so only stack taps when it fits comfortably
-        # (C=192 GMA convs overflowed the 16MB scoped-vmem limit).
-        stack_taps = kx > 1 and kx * tile * cp * 4 <= 1 * 1024 * 1024
-        eff_kx = kx if stack_taps else 1
+        for c in dma_pair(0, 0):
+            c.start()
+        for g in range(groups):
+            slot = g % 2
+            if g + 1 < groups:
+                for c in dma_pair(g + 1, (g + 1) % 2):
+                    c.start()
+            for c in dma_pair(g, slot):
+                c.wait()
 
-        def run_group(j0, _slot=slot):
-            qs = [q_ref[:, g * kx + j0 + j:g * kx + j0 + j + 1]
-                  for j in range(eff_kx)]
+            r0a = slab_start(g)
+            r_end = starts_ref[g * kx + kx - 1, i + 1]
+            nch = jnp.clip((r_end - r0a + cw - 1) // cw, 0, slab // cw)
 
-            def chunk(c, g_acc):
-                krow = kslab[_slot, :, pl.ds(c * cw, cw)]     # [1, cw]
-                m = jnp.concatenate(
-                    [(q == krow).astype(jnp.bfloat16) for q in qs],
-                    axis=0)                                   # [eff_kx*T, cw]
-                f = fslab[_slot, :, pl.ds(c * cw, cw)]        # [cp, cw]
-                return g_acc + jax.lax.dot_general(
-                    m, f, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            # all kx taps of the group share the slab: stack their match
+            # matrices along sublanes and contract once per chunk (kx fewer
+            # loop iterations + MXU issues — the kernel is loop-overhead
+            # bound at small Cin). Whether the [kx*T, cp] stack fits is
+            # decided by the caller's explicit VMEM estimate.
+            eff_kx = kx if stack_taps else 1
 
-            return jax.lax.fori_loop(
-                0, nch, chunk, jnp.zeros((eff_kx * tile, cp), jnp.float32))
+            def run_group(j0, _slot=slot):
+                # the group's queries arrive pre-stacked [kx*T, G] from the
+                # host (j-major rows), so one column slice covers all
+                # stacked taps — a per-chunk concatenate of compare planes
+                # cost an extra [kx*T, cw] VPU copy every chunk, and Mosaic
+                # cannot concat [T, 1] column slices at distinct lane
+                # offsets at all
+                if eff_kx > 1:
+                    qstack = q_ref[:, g:g + 1]              # [kx*T, 1]
+                else:
+                    qstack = q_ref[pl.ds(j0 * tile, tile), g:g + 1]
 
-        g_all = run_group(0) if stack_taps else None
+                def chunk(c, g_acc):
+                    krow = kslab[_slot, :, pl.ds(c * cw, cw)]     # [1, cw]
+                    m = (qstack == krow).astype(jnp.bfloat16)  # [ekx*T, cw]
+                    f = fslab[_slot, :, pl.ds(c * cw, cw)]        # [cp, cw]
+                    return g_acc + jax.lax.dot_general(
+                        m, f, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-        for j in range(kx):
-            t = g * kx + j
-            g_t = (g_all[j * tile:(j + 1) * tile] if stack_taps
-                   else run_group(j))
-            if parts == 2:
-                g_t = g_t[:, :cin] + g_t[:, cin:]
-            g_t = g_t * inb_ref[:, t:t + 1].astype(jnp.float32)
-            if fuse_gall:
-                gall[:, t * cin:(t + 1) * cin] = g_t
-            else:
-                # 3-pass hi/lo fp32 GEMM (error ~2^-16): hi@hi + hi@lo
-                # + lo@hi — 2x fewer passes than Mosaic's 6-pass fp32
-                g_hi = g_t.astype(jnp.bfloat16)
-                g_lo = (g_t - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                w_hi = w_ref[0, t]
-                w_lo = w_ref[1, t]
-                nt = (((1,), (0,)), ((), ()))
-                gall[:] = (gall[:]
-                           + jax.lax.dot_general(
-                               g_hi, w_hi, nt,
-                               preferred_element_type=jnp.float32)
-                           + jax.lax.dot_general(
-                               g_hi, w_lo, nt,
-                               preferred_element_type=jnp.float32)
-                           + jax.lax.dot_general(
-                               g_lo, w_hi, nt,
-                               preferred_element_type=jnp.float32))
+                return jax.lax.fori_loop(
+                    0, nch, chunk,
+                    jnp.zeros((eff_kx * tile, cp), jnp.float32))
 
-    if fuse_gall:
-        out_ref[:] = jax.lax.dot_general(
-            gall[:], w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(out_ref.dtype)
-    else:
-        out_ref[:] = gall[:].astype(out_ref.dtype)
+            g_all = run_group(0) if stack_taps else None
+
+            for j in range(kx):
+                t = g * kx + j
+                g_t = (g_all[j * tile:(j + 1) * tile] if stack_taps
+                       else run_group(j))
+                if parts == 2:
+                    g_t = g_t[:, :cin] + g_t[:, cin:]
+                g_t = g_t * inb_ref[:, t:t + 1].astype(jnp.float32)
+                if fuse_gall:
+                    gall[:, t * cin:(t + 1) * cin] = g_t
+                else:
+                    # 3-pass hi/lo fp32 GEMM (error ~2^-16): hi@hi + hi@lo
+                    # + lo@hi — 2x fewer passes than Mosaic's 6-pass fp32
+                    g_hi = g_t.astype(jnp.bfloat16)
+                    g_lo = (g_t - g_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    w_hi = w_ref[0, t]
+                    w_lo = w_ref[1, t]
+                    nt = (((1,), (0,)), ((), ()))
+                    gall[:] = (gall[:]
+                               + jax.lax.dot_general(
+                                   g_hi, w_hi, nt,
+                                   preferred_element_type=jnp.float32)
+                               + jax.lax.dot_general(
+                                   g_hi, w_lo, nt,
+                                   preferred_element_type=jnp.float32)
+                               + jax.lax.dot_general(
+                                   g_lo, w_hi, nt,
+                                   preferred_element_type=jnp.float32))
+
+        if fuse_gall:
+            out_ref[:] = jax.lax.dot_general(
+                gall[:], w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(out_ref.dtype)
+        else:
+            out_ref[:] = gall[:].astype(out_ref.dtype)
 
 
 def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
                  weights: jax.Array, slab: int = DEFAULT_SLAB,
+                 cw: Optional[int] = None,
                  interpret: bool = False) -> jax.Array:
     """[K_out_pad, Cout] via the match-matmul kernel."""
     k_in, cin = feats.shape
@@ -440,9 +480,26 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
         [in_keys, jnp.full((k_pad - k_in,), INT_MAX, jnp.int32)]
     ).reshape(1, k_pad)
 
-    # one fused fp32 GEMM per tile when the [tile, taps*cin] stack fits
-    # VMEM; otherwise per-tap 3-pass hi/lo GEMMs with split weights
-    fuse_gall = ta * cin_pad * tile * 4 <= 6 * 1024 * 1024
+    # pick the richest (fused epilogue, stacked taps) combo whose explicit
+    # VMEM estimate fits: Mosaic's scoped limit is 16MB and the real usage
+    # is fixed blocks (double-buffered by the pallas pipeline) + weights +
+    # gall scratch + the kernel-stack m / g_acc temporaries. Ad-hoc
+    # single-term thresholds kept missing combinations (the C=128->192
+    # downscale compiled at tile 512 but blew VMEM at tile 256).
+    cw = min(cw or DEFAULT_CW, slab)     # chunk width (lanes per MXU pass)
+    assert slab % cw == 0
+    cp = parts * cin_pad
+    # Empirically-calibrated VMEM gates (Mosaic's scoped accounting reuses
+    # stack buffers in ways a term-by-term estimate keeps mispredicting).
+    # The fused-epilogue footprint tracks ta*cin*(tile + 2*cout): its
+    # HIGHEST GEMM materializes bf16 hi/lo copies of weights AND gall.
+    # Observed on v5e @ tile 256 / slab 2048: C=128->128 (7.1MB by this
+    # metric) compiles, C=128->192 (8.9MB) and C=192->192 (13.3MB) OOM.
+    fuse_gall = ta * cin_pad * (tile + 2 * cout) * 4 <= 8 * 1024 * 1024
+    # stacking adds [kx*tile, cp] fp32 + [kx*tile, cw] bf16 on the stack;
+    # safe alongside the fused epilogue up to ~2.6MB of accumulator
+    stack_taps = (plan.kx > 1 and fuse_gall
+                  and plan.kx * tile * cp * 4 <= 5 * 2048 * 256)
     w32 = jnp.zeros((ta, cin_pad, cout), jnp.float32).at[:, :cin, :].set(
         weights.astype(jnp.float32))
     if fuse_gall:
@@ -455,14 +512,24 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
 
     kernel = functools.partial(
         _match_kernel, taps=ta, kx=plan.kx, cin=cin_pad, slab=slab,
-        tile=tile, parts=parts, fuse_gall=fuse_gall)
+        tile=tile, parts=parts, fuse_gall=fuse_gall, cw=cw,
+        stack_taps=stack_taps)
+
+    # pre-stack queries per tap-group: [n_tiles*kx*tile, G] with j-major
+    # rows, so the kernel reads one column slice per group instead of
+    # concatenating kx lane-offset column slices (which costs a VPU copy
+    # per chunk and is unsupported by Mosaic's concat anyway)
+    kx = plan.kx
+    groups = ta // kx
+    q_stacked = plan.queries.reshape(n_tiles, tile, groups, kx).transpose(
+        0, 3, 1, 2).reshape(n_tiles * kx * tile, groups)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile, ta), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),        # queries
+            pl.BlockSpec((kx * tile, groups), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),        # stacked queries
             pl.BlockSpec((tile, ta), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),        # inb
             pl.BlockSpec(memory_space=pltpu.HBM),         # keys
@@ -489,25 +556,25 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
             flops=flops, bytes_accessed=n_tiles * 27 * slab * cin * 2,
             transcendentals=0),
         interpret=interpret,
-    )(plan.starts, plan.queries, plan.inb.astype(jnp.int32), keys_p,
+    )(plan.starts, q_stacked, plan.inb.astype(jnp.int32), keys_p,
       feats_t, w_arg)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def match_conv(feats, in_keys, plan_weights, slab):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def match_conv(feats, in_keys, plan_weights, slab, cw=None):
     plan, weights = plan_weights
     if use_pallas():
-        return _pallas_conv(feats, in_keys, plan, weights, slab=slab)
+        return _pallas_conv(feats, in_keys, plan, weights, slab=slab, cw=cw)
     return _fallback_conv(feats, in_keys, plan, weights)
 
 
-def _match_conv_fwd(feats, in_keys, plan_weights, slab):
-    out = match_conv(feats, in_keys, plan_weights, slab)
+def _match_conv_fwd(feats, in_keys, plan_weights, slab, cw=None):
+    out = match_conv(feats, in_keys, plan_weights, slab, cw)
     return out, (feats, in_keys, plan_weights)
 
 
-def _match_conv_bwd(slab, res, g):
+def _match_conv_bwd(slab, cw, res, g):
     feats, in_keys, (plan, weights) = res
     # exact rows via searchsorted (training path; the inference hot path
     # never runs this). d_feats[r] = sum_{t,i: rows[t,i]==r} g[i] @ W[t]^T
@@ -535,9 +602,10 @@ match_conv.defvjp(_match_conv_fwd, _match_conv_bwd)
 
 def apply_match_conv(st: SparseTensor, plan: MatchPlan, weights: jax.Array,
                      out_coords, out_valid, out_keys, out_spatial_shape,
-                     bias=None, slab: int = DEFAULT_SLAB) -> SparseTensor:
+                     bias=None, slab: int = DEFAULT_SLAB,
+                     cw: Optional[int] = None) -> SparseTensor:
     """Run a planned conv and wrap the result as a SparseTensor."""
-    out = match_conv(st.features, st.keys, (plan, weights), slab)
+    out = match_conv(st.features, st.keys, (plan, weights), slab, cw)
     out = out[:plan.k_out]
     if bias is not None:
         out = out + bias

@@ -175,3 +175,32 @@ def test_lookup_sorted_pair_matches_table_lookup(rng):
         assert ra[j] == a_index.get(int(k), -1)
     # padded rows never match
     assert (rb[len(a):] == -1).all() and (ra[len(b):] == -1).all()
+
+
+def test_dense_tail_backend_matches_oracle(rng):
+    """dense_tail.dense_sparse_conv == the dense-conv oracle for subm and
+    strided convs (alternative backend, ops/sparse/dense_tail.py)."""
+    from msmdfusion_tpu.ops.sparse.dense_tail import dense_sparse_conv
+    st, dense = random_sparse(rng, batch=2, shape=(5, 8, 8), cin=6, cap=128)
+    w = rng.randn(27, 6, 5).astype(np.float32) * 0.2
+    # submanifold: same coord set, SAME padding k//2
+    out = dense_sparse_conv(st, jnp.asarray(w), st.coords, st.valid,
+                            st.keys, st.spatial_shape, 3, 1, 1)
+    ref = dense_conv3d(dense, w, 3, 1, 1)
+    got = np.asarray(out.features)
+    coords = np.asarray(st.coords)
+    valid = np.asarray(st.valid)
+    for i in np.nonzero(valid)[0]:
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[i], ref[b, z, y, x], atol=1e-4)
+    # strided conv onto the active downsample coord set
+    out_keys, out_coords, out_valid, out_shape = downsample_out_coords(
+        st, 3, 2, 1, 64)
+    out2 = dense_sparse_conv(st, jnp.asarray(w), out_coords, out_valid,
+                             out_keys, out_shape, 3, 2, 1)
+    ref2 = dense_conv3d(dense, w, 3, stride=2, padding=1)
+    got2 = np.asarray(out2.features)
+    oc = np.asarray(out_coords)
+    for i in np.nonzero(np.asarray(out_valid))[0]:
+        b, z, y, x = oc[i]
+        np.testing.assert_allclose(got2[i], ref2[b, z, y, x], atol=1e-4)
