@@ -274,3 +274,62 @@ def test_validate_foreground_artifacts(tmp_path, rng):
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         create_data.validate_foreground_artifacts(str(tmp_path))
+
+
+def test_generate_virtual_points_tool(tmp_path, rng):
+    """MVP-style artifact generator: 6NN depth lifting + unprojection
+    roundtrip, output layout consumable by LoadForeground2D."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, 'tools'))
+    import importlib
+    gvp = importlib.import_module('generate_virtual_points')
+
+    # camera: simple pinhole looking down +z of its own frame; lidar2img
+    # maps lidar (x fwd, y left, z up) -> image plane
+    fx = fy = 400.0
+    cx, cy = 320.0, 240.0
+    intr = np.array([[fx, 0, cx, 0], [0, fy, cy, 0],
+                     [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+    # lidar x (forward) becomes camera z (depth)
+    ext = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                    [1, 0, 0, 0], [0, 0, 0, 1]], np.float64)
+    lidar2img = intr @ ext
+
+    # a wall of lidar points at x = 10 m, spanning the image center
+    yy, zz = np.meshgrid(np.linspace(-2, 2, 30), np.linspace(-1.5, 1.5, 30))
+    pts = np.stack([np.full(yy.size, 10.0), yy.ravel(), zz.ravel()], 1)
+    pts = np.concatenate([pts, rng.rand(pts.shape[0], 2)], 1).astype(
+        np.float32)
+
+    cam = dict(lidar2img=lidar2img, img_hw=(480, 640),
+               instances=[dict(bbox=[200, 140, 440, 340], label=3)])
+    info = gvp.generate_sample_artifact(pts, [cam] * 6, num_virtual=40)
+
+    vpx = info['virtual_pixel_indices'][0]
+    rpx = info['real_pixel_indices'][0]
+    vpt = info['virtual_points'][0]
+    assert rpx.shape[0] > 50 and vpx.shape[0] == 40
+    assert vpx.shape[1] == 14 and rpx.shape[1] == 14
+    # one-hot label block set
+    assert (vpx[:, 3 + 3] == 1).all() and vpx[:, 3:].sum(1).max() == 1
+    # all real depths are ~10 m (the wall), so 6NN-lifted virtual points
+    # must land on the wall: x ~= 10 in lidar frame
+    np.testing.assert_allclose(vpt[:, 0], 10.0, atol=0.05)
+    # unprojection roundtrip: re-projecting virtual points hits the pixel
+    proj = gvp.project_points(vpt, lidar2img, (480, 640))
+    np.testing.assert_allclose(proj['uvd'][:, :2], vpx[:, :2], atol=1e-3)
+
+    # artifact roundtrips through the validator + the loader
+    fg_dir = tmp_path / 'samples' / 'FOREGROUND_MIXED_6NN_WITH_DEPTH'
+    fg_dir.mkdir(parents=True)
+    np.save(str(fg_dir / 'w.bin.pkl.npy'),
+            np.asarray(info, dtype=object), allow_pickle=True)
+    create_data = importlib.import_module('create_data')
+    assert create_data.validate_foreground_artifacts(str(tmp_path)) == 1
+    from msmdfusion_tpu.datasets.pipelines.foreground import LoadForeground2D
+    loader = LoadForeground2D()
+    results = dict(pts_filename=str(tmp_path / 'samples' / 'LIDAR_TOP'
+                                    / 'w.bin'))
+    out = loader(results)['foreground2D_info']
+    assert len(out['fg_pixels']) == 6
+    assert out['fg_points'][0].shape[1] == 15   # xyz + 11 labels + ts

@@ -155,3 +155,47 @@ def test_train_cli_runs_steps(synthetic_dataset):
     train_recs = [r for r in records if r['mode'] == 'train']
     assert 'total_loss' in train_recs[0] and 'lr' in train_recs[0]
     assert 'val: ' in log
+
+
+def test_frozen_bn_stats_bit_identical():
+    """With frozen_predicates, BN running stats of frozen subtrees must not
+    drift across a train step (reference tools/train.py:185-219 puts frozen
+    lidar modules in eval mode during stage-2 fine-tuning)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+    from msmdfusion_tpu.apis.train import make_train_step
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(8, name='pts_dense')(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, name='pts_bn')(x)
+            x = nn.Dense(8, name='img_dense')(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, name='img_bn')(x)
+            return x
+
+        def loss(self, preds, gt_bboxes, gt_labels, gt_valid):
+            return {'loss': jnp.mean(preds ** 2)}
+
+    model = Tiny()
+    x = jnp.asarray(np.random.RandomState(0).randn(16, 8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params, bs = variables['params'], variables['batch_stats']
+    step = make_train_step(model, optax.sgd(1e-2),
+                           frozen_predicates=('pts_',))
+    batch = dict(inputs=(x,), gt_bboxes=None, gt_labels=None, gt_valid=None)
+    new_params, new_bs, _, _ = step(params, bs, optax.sgd(1e-2).init(params),
+                                    batch, 0)
+    # frozen subtree: stats bit-identical
+    np.testing.assert_array_equal(np.asarray(new_bs['pts_bn']['mean']),
+                                  np.asarray(bs['pts_bn']['mean']))
+    np.testing.assert_array_equal(np.asarray(new_bs['pts_bn']['var']),
+                                  np.asarray(bs['pts_bn']['var']))
+    # unfrozen subtree: stats moved (mean of a BN'd input stays ~0, so
+    # check the variance which clearly re-estimates)
+    assert not np.allclose(np.asarray(new_bs['img_bn']['var']),
+                           np.asarray(bs['img_bn']['var']))
