@@ -17,8 +17,10 @@ from flax import linen as nn
 
 from ..ops.sparse.conv import downsample_out_coords, kernel_offsets
 from ..ops.sparse.dense_tail import dense_sparse_conv, use_dense
-from ..ops.sparse.matchconv import (apply_match_conv, build_downsample_plan,
-                                    build_subm_plan)
+from ..ops.sparse.matchconv import (DEFAULT_SLAB, ROWS_MIN_C,
+                                    apply_match_conv, build_downsample_plan,
+                                    build_subm_plan, plan_rows,
+                                    rows_gather_conv)
 from ..ops.sparse.tensor import SparseTensor
 from .layers import MaskedBatchNorm, get_activation, torch_conv_init
 
@@ -73,6 +75,27 @@ class SubMConv3d(nn.Module):
                                    **({'tile': self.tile} if self.tile
                                       else {}))
             cache[key] = plan
+        if st.num_channels >= ROWS_MIN_C > 0:
+            # wide channels: extract the rulebook rows once per indice_key
+            # (C-independent kernel) and run the conv as a differentiable
+            # hi/lo gather-GEMM — the one-hot match GEMM costs
+            # (tile + window) * 2C MACs per output row, the gather one
+            # descriptor per (tap, row)
+            rkey = ('rows',) + key
+            rows = cache.get(rkey)
+            if rows is None:
+                rows = plan_rows(st.keys, plan,
+                                 slab=self.slab or DEFAULT_SLAB,
+                                 cw=self.cw)
+                cache[rkey] = rows
+            out = rows_gather_conv(st.features, rows, w)[:plan.k_out]
+            if b is not None:
+                out = out + b
+            out = jnp.where(st.valid[:, None], out, 0)
+            return SparseTensor(
+                features=out, coords=st.coords, valid=st.valid,
+                keys=st.keys, spatial_shape=st.spatial_shape,
+                batch_size=st.batch_size), cache
         opts = {k: v for k, v in (('slab', self.slab), ('cw', self.cw))
                 if v}
         out = apply_match_conv(st, plan, w, st.coords, st.valid, st.keys,

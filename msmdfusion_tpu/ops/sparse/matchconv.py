@@ -410,15 +410,25 @@ def _match_kernel(starts_ref, q_ref, inb_ref, keys_hbm, featsT_hbm, w_ref,
                     0, nch, chunk,
                     jnp.zeros((eff_kx * tile, cp), jnp.float32))
 
-            g_all = run_group(0) if stack_taps else None
+            if stack_taps:
+                # group-vectorized epilogue: hi/lo reduce + in-bounds mask
+                # for all kx taps in TWO VPU ops (the per-tap version
+                # issued ~3*taps Mosaic ops per tile — the dominant cost
+                # for small-C convs) and ONE gall column write per group
+                g_all = run_group(0)                      # [kx*T, cp]
+                if parts == 2:
+                    g_all = g_all[:, :cin] + g_all[:, cin:]
+                g_all = g_all * inb_ref[:, g:g + 1].astype(jnp.float32)
+                gall[:, g * cin:(g + 1) * cin] = g_all
+                continue
 
             for j in range(kx):
                 t = g * kx + j
-                g_t = (g_all[j * tile:(j + 1) * tile] if stack_taps
-                       else run_group(j))
+                g_t = run_group(j)
                 if parts == 2:
                     g_t = g_t[:, :cin] + g_t[:, cin:]
-                g_t = g_t * inb_ref[:, t:t + 1].astype(jnp.float32)
+                g_t = g_t * inb_ref[pl.ds(j * tile, tile),
+                                    g:g + 1].astype(jnp.float32)
                 if fuse_gall:
                     gall[:, t * cin:(t + 1) * cin] = g_t
                 else:
@@ -441,7 +451,23 @@ def _match_kernel(starts_ref, q_ref, inb_ref, keys_hbm, featsT_hbm, w_ref,
                                    g_lo, w_hi, nt,
                                    preferred_element_type=jnp.float32))
 
-        if fuse_gall:
+        if stack_taps:
+            # gall is [kx*tile, groups*cin] with row j*tile + r; apply the
+            # (j, g, c)-ordered weights as kx HIGHEST GEMMs — no per-tap
+            # slicing, no transpose
+            acc = jax.lax.dot_general(
+                gall[pl.ds(0, tile), :], w_ref[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            for j in range(1, kx):
+                acc = acc + jax.lax.dot_general(
+                    gall[pl.ds(j * tile, tile), :], w_ref[j],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            out_ref[:] = acc.astype(out_ref.dtype)
+        elif fuse_gall:
             out_ref[:] = jax.lax.dot_general(
                 gall[:], w_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -500,9 +526,16 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
     # safe alongside the fused epilogue up to ~2.6MB of accumulator
     stack_taps = (plan.kx > 1 and fuse_gall
                   and plan.kx * tile * cp * 4 <= 5 * 2048 * 256)
+    groups = ta // plan.kx
     w32 = jnp.zeros((ta, cin_pad, cout), jnp.float32).at[:, :cin, :].set(
         weights.astype(jnp.float32))
-    if fuse_gall:
+    if stack_taps:
+        # (j, g, c)-ordered weights matching the [kx*tile, groups*cin]
+        # gall layout of the group-vectorized epilogue
+        w_arg = w32.reshape(groups, plan.kx, cin_pad, cout).transpose(
+            1, 0, 2, 3).reshape(plan.kx, groups * cin_pad, cout)
+        gall_shape = (plan.kx * tile, groups * cin_pad)
+    elif fuse_gall:
         w_arg = w32.reshape(ta * cin_pad, cout)
         gall_shape = (tile, ta * cin_pad)
     else:
@@ -520,9 +553,11 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
     # concatenating kx lane-offset column slices (which costs a VPU copy
     # per chunk and is unsupported by Mosaic's concat anyway)
     kx = plan.kx
-    groups = ta // kx
     q_stacked = plan.queries.reshape(n_tiles, tile, groups, kx).transpose(
         0, 3, 1, 2).reshape(n_tiles * kx * tile, groups)
+    inb_stacked = plan.inb.astype(jnp.int32).reshape(
+        n_tiles, tile, groups, kx).transpose(0, 3, 1, 2).reshape(
+        n_tiles * kx * tile, groups)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -530,8 +565,8 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
         in_specs=[
             pl.BlockSpec((kx * tile, groups), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),        # stacked queries
-            pl.BlockSpec((tile, ta), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),        # inb
+            pl.BlockSpec((kx * tile, groups), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),        # stacked inb
             pl.BlockSpec(memory_space=pltpu.HBM),         # keys
             pl.BlockSpec(memory_space=pltpu.HBM),         # featsT
             pl.BlockSpec(memory_space=pltpu.VMEM),        # weights
@@ -556,7 +591,7 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
             flops=flops, bytes_accessed=n_tiles * 27 * slab * cin * 2,
             transcendentals=0),
         interpret=interpret,
-    )(plan.starts, q_stacked, plan.inb.astype(jnp.int32), keys_p,
+    )(plan.starts, q_stacked, inb_stacked, keys_p,
       feats_t, w_arg)
     return out
 
@@ -614,3 +649,170 @@ def apply_match_conv(st: SparseTensor, plan: MatchPlan, weights: jax.Array,
                         keys=out_keys,
                         spatial_shape=tuple(out_spatial_shape),
                         batch_size=st.batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Rows + gather-GEMM path (big-C convs)
+#
+# For wide channels the one-hot match GEMM does (tile + window) * cp MACs
+# per output row; a plain row gather costs one descriptor per (tap, row)
+# instead. The kernel below extracts the matched ROW INDICES (the spconv
+# rulebook itself) with the same slab/bracket machinery but no feature DMA
+# and a trivial contraction, so it is ~C-independent; the conv then runs as
+# jnp.take + einsum, natively differentiable, with the same exact-fp32 bf16
+# hi/lo compensation. Rows depend only on the coordinate set, so they are
+# computed ONCE per indice_key and shared by every conv on that set
+# (spconv's rulebook reuse).
+# ---------------------------------------------------------------------------
+
+# MEASURED (v5e, agg1 = K160k/C80, 2-conv shared-rows block, loop-in-jit):
+# rows+gather 68.5 ms vs match 39.1 ms — the gather engine's per-descriptor
+# cost (27 taps x K rows x 2 convs) dwarfs the rows extraction savings, so
+# this path is DISABLED by default (0). Kept as an opt-in alternative and
+# as the differentiable big-C training path.
+ROWS_MIN_C = int(os.environ.get('MSMD_ROWS_MIN_C', 0))
+
+
+def _rows_kernel(starts_ref, q_ref, inb_ref, keys_hbm, out_ref, kslab,
+                 sem_k, *, taps: int, kx: int, slab: int, tile: int,
+                 cw: int):
+    """Per tile: matched input row per (output row, tap); -1 = no match."""
+    i = pl.program_id(0)
+    groups = taps // kx
+    live_tile = q_ref[0, 0] != jnp.int32(INT_MAX)
+
+    @pl.when(jnp.logical_not(live_tile))
+    def _zero_tile():
+        out_ref[:] = jnp.full_like(out_ref, -1)
+
+    @pl.when(live_tile)
+    def _run_tile():
+        def slab_start(g):
+            r0 = starts_ref[g * kx, i]
+            return pl.multiple_of((r0 // 128) * 128, 128)
+
+        def dma(g, slot):
+            return pltpu.make_async_copy(
+                keys_hbm.at[:, pl.ds(slab_start(g), slab)],
+                kslab.at[slot], sem_k.at[slot])
+
+        dma(0, 0).start()
+        for g in range(groups):
+            slot = g % 2
+            if g + 1 < groups:
+                dma(g + 1, (g + 1) % 2).start()
+            dma(g, slot).wait()
+            r0a = slab_start(g)
+            r_end = starts_ref[g * kx + kx - 1, i + 1]
+            nch = jnp.clip((r_end - r0a + cw - 1) // cw, 0, slab // cw)
+            qstack = q_ref[:, g:g + 1]                    # [kx*T, 1]
+
+            def chunk(c, acc):
+                krow = kslab[slot, :, pl.ds(c * cw, cw)]  # [1, cw]
+                m = qstack == krow                        # [kx*T, cw]
+                base = r0a + c * cw + 1                   # +1: 0 = miss
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, cw), 1) + base
+                return acc + jnp.sum(jnp.where(m, iota, 0), axis=1,
+                                     keepdims=True)
+
+            acc = jax.lax.fori_loop(
+                0, nch, chunk,
+                jnp.zeros((kx * tile, 1), jnp.int32))
+            for j in range(kx):
+                t = g * kx + j
+                rj = acc[j * tile:(j + 1) * tile]         # [T, 1]
+                ok = (inb_ref[:, t:t + 1] != 0) & (rj > 0)
+                out_ref[:, t:t + 1] = jnp.where(ok, rj - 1, -1)
+
+
+def plan_rows(in_keys: jax.Array, plan: MatchPlan,
+              slab: int = DEFAULT_SLAB, cw: Optional[int] = None,
+              interpret: bool = False) -> jax.Array:
+    """[K_out_pad, Ta] matched input rows (-1 = miss) for a plan."""
+    if not use_pallas() and not interpret:
+        return _rows_from_plan(in_keys, plan).T
+    k_in = in_keys.shape[0]
+    tile, ta, kx = plan.tile, plan.num_taps, plan.kx
+    n_tiles = plan.n_tiles
+    groups = ta // kx
+    cw = min(cw or DEFAULT_CW, slab)
+    k_pad = _round_up(k_in + slab, 128)
+    keys_p = jnp.concatenate(
+        [in_keys, jnp.full((k_pad - k_in,), INT_MAX, jnp.int32)]
+    ).reshape(1, k_pad)
+    q_stacked = plan.queries.reshape(n_tiles, tile, groups, kx).transpose(
+        0, 3, 1, 2).reshape(n_tiles * kx * tile, groups)
+    kernel = functools.partial(_rows_kernel, taps=ta, kx=kx, slab=slab,
+                               tile=tile, cw=cw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((kx * tile, groups), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, ta), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((tile, ta), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, slab), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, ta), jnp.int32),
+        interpret=interpret,
+    )(plan.starts, q_stacked, plan.inb.astype(jnp.int32), keys_p)
+
+
+def rows_gather_conv(feats: jax.Array, rows: jax.Array,
+                     weights: jax.Array) -> jax.Array:
+    """Exact-fp32 gather-GEMM conv from precomputed rows.
+
+    feats [K_in, Cin] fp32/bf16; rows [K_out_pad, Ta]; weights
+    [Ta, Cin, Cout]. Natively differentiable (gather + einsum only).
+    The hi/lo features are INTERLEAVED into one [K, 2C] bf16 array so the
+    gather issues one descriptor per (tap, row) — not two.
+    """
+    k_in, cin = feats.shape
+    ta, _, cout = weights.shape
+    k_out = rows.shape[0]
+    if feats.dtype == jnp.bfloat16:
+        f2 = feats
+        w_parts = [weights.astype(jnp.bfloat16)]
+    else:
+        hi, lo = _split_hi_lo(feats.astype(jnp.float32))
+        f2 = jnp.concatenate([hi, lo], axis=1)           # [K, 2C] bf16
+        w_hi, w_lo = _split_hi_lo(weights.astype(jnp.float32))
+        w_parts = None
+    f2z = jnp.concatenate(
+        [f2, jnp.zeros((1, f2.shape[1]), f2.dtype)], axis=0)
+    safe = jnp.where(rows < 0, k_in, rows).T             # [Ta, K_out]
+    out = jnp.zeros((k_out, cout), jnp.float32)
+    chunk = _rows_tap_chunk(ta, k_out, f2.shape[1])
+    for s in range(0, ta, chunk):
+        g = jnp.take(f2z, safe[s:s + chunk], axis=0)     # [t, K, 2C] bf16
+        if feats.dtype == jnp.bfloat16:
+            out = out + jnp.einsum(
+                'tkc,tcd->kd', g, w_parts[0][s:s + chunk],
+                preferred_element_type=jnp.float32)
+        else:
+            wh = w_hi[s:s + chunk]
+            # hi@w_hi + lo@w_hi via the stacked [2C] block, + hi@w_lo
+            w_cat = jnp.concatenate([wh, wh], axis=1)    # [t, 2C, D]
+            out = out + jnp.einsum(
+                'tkc,tcd->kd', g, w_cat,
+                preferred_element_type=jnp.float32)
+            out = out + jnp.einsum(
+                'tkc,tcd->kd', g[..., :cin], w_lo[s:s + chunk],
+                preferred_element_type=jnp.float32)
+    return out.astype(feats.dtype)
+
+
+def _rows_tap_chunk(ta: int, k: int, c2: int) -> int:
+    per_tap = k * c2 * 2
+    return max(1, min(ta, (256 * 1024 * 1024) // max(per_tap, 1)))
