@@ -84,10 +84,17 @@ def use_pallas() -> bool:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MatchPlan:
-    """Per-coordinate-set conv plan (the TPU analog of a spconv rulebook)."""
+    """Per-coordinate-set conv plan (the TPU analog of a spconv rulebook).
+
+    ``qs``/``inbs`` are the group-stacked [n_tiles*kx*tile, G] views the
+    kernel consumes — materialized once here so the transposes are shared
+    by every conv on the coordinate set instead of re-emitted per conv.
+    """
     queries: jax.Array       # [K_out_pad, Ta] int32, monotone per column
     inb: jax.Array           # [K_out_pad, Ta] bool — tap in-bounds & valid
     starts: jax.Array        # [Ta, n_tiles + 1] int32 slab brackets
+    qs: jax.Array            # [n_tiles*kx*tile, G] int32 stacked queries
+    inbs: jax.Array          # [n_tiles*kx*tile, G] int32 stacked inb
     kx: int = dataclasses.field(metadata=dict(static=True))   # taps / group
     k_out: int = dataclasses.field(metadata=dict(static=True))  # un-padded
     tile: int = dataclasses.field(metadata=dict(static=True))
@@ -146,8 +153,15 @@ def build_plan(in_keys: jax.Array, query_keys: jax.Array, inb: jax.Array,
     starts = starts_flat.reshape(ta, n_tiles)
     starts = jnp.concatenate(
         [starts, jnp.full((ta, 1), in_keys.shape[0], jnp.int32)], axis=1)
-    return MatchPlan(queries=query_keys, inb=inb, starts=starts, kx=kx,
-                     k_out=k_out, tile=tile)
+    groups = ta // kx
+
+    def stack(a):
+        return a.reshape(n_tiles, tile, groups, kx).transpose(
+            0, 3, 1, 2).reshape(n_tiles * kx * tile, groups)
+
+    return MatchPlan(queries=query_keys, inb=inb, starts=starts,
+                     qs=stack(query_keys), inbs=stack(inb.astype(jnp.int32)),
+                     kx=kx, k_out=k_out, tile=tile)
 
 
 def _offsets_zyx(kernel_size) -> np.ndarray:
@@ -327,7 +341,9 @@ def _match_kernel(starts_ref, q_ref, inb_ref, keys_hbm, featsT_hbm, w_ref,
     at bf16 rate with ~2^-16 relative error instead of bf16's 2^-8) and
     keys_hbm a [1, K_pad] row; both slab slices run along the (128-aligned,
     hinted) lane dimension — Mosaic requires tile-aligned memref slices.
-    The match loops dynamic 128-wide chunks.
+    (A row-major [K_pad, cp] variant was tried: Mosaic requires 128-aligned
+    LANE extents to slice sublanes, and the resulting lane padding made
+    small-C convs 34% slower and C=80 overflow VMEM — transposed wins.)
 
     The weight application is either ONE fused fp32 GEMM per tile over the
     stacked per-tap gathers (fuse_gall: gall [tile, taps*cin] @ w — 27x
@@ -523,9 +539,10 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
     # metric) compiles, C=128->192 (8.9MB) and C=192->192 (13.3MB) OOM.
     fuse_gall = ta * cin_pad * (tile + 2 * cout) * 4 <= 8 * 1024 * 1024
     # stacking adds [kx*tile, cp] fp32 + [kx*tile, cw] bf16 on the stack;
-    # safe alongside the fused epilogue up to ~2.6MB of accumulator
+    # safe alongside the fused epilogue up to ~2.2MB of accumulator
+    # (C=128 at 2.36MB measured 16.53M scoped vmem - 540KB over the limit)
     stack_taps = (plan.kx > 1 and fuse_gall
-                  and plan.kx * tile * cp * 4 <= 5 * 2048 * 256)
+                  and plan.kx * tile * cp * 4 <= 2300 * 1024)
     groups = ta // plan.kx
     w32 = jnp.zeros((ta, cin_pad, cout), jnp.float32).at[:, :cin, :].set(
         weights.astype(jnp.float32))
@@ -553,11 +570,8 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
     # concatenating kx lane-offset column slices (which costs a VPU copy
     # per chunk and is unsupported by Mosaic's concat anyway)
     kx = plan.kx
-    q_stacked = plan.queries.reshape(n_tiles, tile, groups, kx).transpose(
-        0, 3, 1, 2).reshape(n_tiles * kx * tile, groups)
-    inb_stacked = plan.inb.astype(jnp.int32).reshape(
-        n_tiles, tile, groups, kx).transpose(0, 3, 1, 2).reshape(
-        n_tiles * kx * tile, groups)
+    q_stacked = plan.qs
+    inb_stacked = plan.inbs
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -741,8 +755,7 @@ def plan_rows(in_keys: jax.Array, plan: MatchPlan,
     keys_p = jnp.concatenate(
         [in_keys, jnp.full((k_pad - k_in,), INT_MAX, jnp.int32)]
     ).reshape(1, k_pad)
-    q_stacked = plan.queries.reshape(n_tiles, tile, groups, kx).transpose(
-        0, 3, 1, 2).reshape(n_tiles * kx * tile, groups)
+    q_stacked = plan.qs
     kernel = functools.partial(_rows_kernel, taps=ta, kx=kx, slab=slab,
                                tile=tile, cw=cw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
