@@ -31,6 +31,18 @@ def _num_taps(kernel_size) -> int:
     return int(kernel_size) ** 3
 
 
+def _auto_tile(channels: int) -> Optional[int]:
+    """Default kernel tile by channel width.
+
+    Wide-channel convs run the match kernel right at the 16MB scoped-vmem
+    limit with the default tile 256 (the C=96 GMA aggregation conv OOMed
+    by 1MB in full-model context while compiling fine in isolation);
+    halving the tile halves every per-tile buffer with ~unchanged speed
+    (match work per output row is tile + window columns either way).
+    """
+    return 128 if channels >= 96 else None
+
+
 class SubMConv3d(nn.Module):
     """Submanifold sparse conv layer; output coords == input coords."""
     out_channels: int
@@ -175,19 +187,20 @@ class SparseConvBlock(nn.Module):
                  train: bool = False):
         norm = MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)
         act_fn = get_activation(self.act)
+        tile = self.tile or _auto_tile(self.out_channels)
         for step in self.order:
             if step == 'conv':
                 if self.conv_type == 'SubMConv3d':
                     st, cache = SubMConv3d(
                         self.out_channels, self.kernel_size,
                         indice_key=self.indice_key, slab=self.slab,
-                        tile=self.tile, cw=self.cw)(st, cache)
+                        tile=tile, cw=self.cw)(st, cache)
                 elif self.conv_type == 'SparseConv3d':
                     st, cache = SparseConv3d(
                         self.out_channels, self.kernel_size, self.stride,
                         self.padding, out_capacity=self.out_capacity,
                         indice_key=self.indice_key, slab=self.slab,
-                        tile=self.tile, cw=self.cw)(st, cache)
+                        tile=tile, cw=self.cw)(st, cache)
                 else:
                     raise ValueError(self.conv_type)
             elif step == 'norm':
@@ -216,8 +229,9 @@ class SparseBasicBlock(nn.Module):
     def __call__(self, st: SparseTensor, cache: Dict[str, Any],
                  train: bool = False):
         identity = st.features
+        tile = self.tile or _auto_tile(self.channels)
         st, cache = SubMConv3d(self.channels, 3, indice_key=self.indice_key,
-                               slab=self.slab, tile=self.tile,
+                               slab=self.slab, tile=tile,
                                cw=self.cw)(st, cache)
         st = st.replace_features(
             MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)(
@@ -225,7 +239,7 @@ class SparseBasicBlock(nn.Module):
         st = st.replace_features(
             jnp.where(st.valid[:, None], jnp.maximum(st.features, 0), 0))
         st, cache = SubMConv3d(self.channels, 3, indice_key=self.indice_key,
-                               slab=self.slab, tile=self.tile,
+                               slab=self.slab, tile=tile,
                                cw=self.cw)(st, cache)
         st = st.replace_features(
             MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)(

@@ -193,11 +193,24 @@ def build_subm_plan(st: SparseTensor, kernel_size,
                     tile: int = DEFAULT_TILE) -> MatchPlan:
     """Plan for a submanifold conv (output coords == input coords)."""
     offs = _offsets_zyx(kernel_size)                     # [Ta, 3]
+    kz, ky, kx_ = (kernel_size if isinstance(kernel_size, (tuple, list))
+                   else (kernel_size,) * 3)
     z, y, x = st.spatial_shape
     dkey = offs[:, 0] * (y * x) + offs[:, 1] * x + offs[:, 2]
-    nb = st.coords[:, None, 1:] + jnp.asarray(offs)[None, :, :]  # [K, Ta, 3]
-    inb = st.valid[:, None] & jnp.all(
-        (nb >= 0) & (nb < jnp.array([z, y, x])), axis=-1)
+    # per-axis bounds then a broadcast combine: 3 tiny [K, k] checks
+    # instead of materializing [K, Ta, 3] neighbor coords
+    k = st.capacity
+
+    def axis_ok(c, kdim, lim):
+        d = jnp.arange(kdim, dtype=jnp.int32) - kdim // 2
+        v = c[:, None] + d[None, :]
+        return (v >= 0) & (v < lim)
+
+    okz = axis_ok(st.coords[:, 1], int(kz), z)
+    oky = axis_ok(st.coords[:, 2], int(ky), y)
+    okx = axis_ok(st.coords[:, 3], int(kx_), x)
+    inb = (okz[:, :, None, None] & oky[:, None, :, None]
+           & okx[:, None, None, :]).reshape(k, -1) & st.valid[:, None]
     queries = jnp.where(st.valid[:, None],
                         st.keys[:, None] + jnp.asarray(dkey)[None, :],
                         INT_MAX).astype(jnp.int32)
@@ -229,9 +242,17 @@ def build_downsample_plan(st: SparseTensor, out_coords, out_valid,
         np.int32), (3,))
     z, y, x = st.spatial_shape
     base = out_coords[:, 1:] * jnp.asarray(s) - jnp.asarray(p)   # [K, 3]
-    nb = base[:, None, :] + jnp.asarray(taps)[None, :, :]        # [K, Ta, 3]
-    inb = out_valid[:, None] & jnp.all(
-        (nb >= 0) & (nb < jnp.array([z, y, x])), axis=-1)
+    k = out_coords.shape[0]
+
+    def axis_ok(c, kdim, lim):
+        v = c[:, None] + jnp.arange(kdim, dtype=jnp.int32)[None, :]
+        return (v >= 0) & (v < lim)
+
+    okz = axis_ok(base[:, 0], int(kz), z)
+    oky = axis_ok(base[:, 1], int(ky), y)
+    okx = axis_ok(base[:, 2], int(kx), x)
+    inb = (okz[:, :, None, None] & oky[:, None, :, None]
+           & okx[:, None, None, :]).reshape(k, -1) & out_valid[:, None]
     base_key = (out_coords[:, 0] * z + base[:, 0]) * y * x + \
         base[:, 1] * x + base[:, 2]
     dkey = taps[:, 0] * (y * x) + taps[:, 1] * x + taps[:, 2]
