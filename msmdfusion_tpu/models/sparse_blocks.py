@@ -31,18 +31,6 @@ def _num_taps(kernel_size) -> int:
     return int(kernel_size) ** 3
 
 
-def _auto_tile(channels: int) -> Optional[int]:
-    """Default kernel tile by channel width.
-
-    Wide-channel convs run the match kernel right at the 16MB scoped-vmem
-    limit with the default tile 256 (the C=96 GMA aggregation conv OOMed
-    by 1MB in full-model context while compiling fine in isolation);
-    halving the tile halves every per-tile buffer with ~unchanged speed
-    (match work per output row is tile + window columns either way).
-    """
-    return 128 if channels >= 96 else None
-
-
 class SubMConv3d(nn.Module):
     """Submanifold sparse conv layer; output coords == input coords."""
     out_channels: int
@@ -187,7 +175,7 @@ class SparseConvBlock(nn.Module):
                  train: bool = False):
         norm = MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)
         act_fn = get_activation(self.act)
-        tile = self.tile or _auto_tile(self.out_channels)
+        tile = self.tile
         for step in self.order:
             if step == 'conv':
                 if self.conv_type == 'SubMConv3d':
@@ -229,7 +217,7 @@ class SparseBasicBlock(nn.Module):
     def __call__(self, st: SparseTensor, cache: Dict[str, Any],
                  train: bool = False):
         identity = st.features
-        tile = self.tile or _auto_tile(self.channels)
+        tile = self.tile
         st, cache = SubMConv3d(self.channels, 3, indice_key=self.indice_key,
                                slab=self.slab, tile=tile,
                                cw=self.cw)(st, cache)

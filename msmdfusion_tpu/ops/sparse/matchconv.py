@@ -86,15 +86,17 @@ def use_pallas() -> bool:
 class MatchPlan:
     """Per-coordinate-set conv plan (the TPU analog of a spconv rulebook).
 
-    ``qs``/``inbs`` are the group-stacked [n_tiles*kx*tile, G] views the
-    kernel consumes — materialized once here so the transposes are shared
-    by every conv on the coordinate set instead of re-emitted per conv.
+    ``qs`` is the group-stacked [n_tiles*kx*tile, G] query view the kernel
+    consumes — materialized once here so the transpose is shared by every
+    conv on the coordinate set. ``inb`` stays in [K_pad, Ta] layout: a
+    stacked [kx*T, G] VMEM block pads its 3 lanes to 128 (+2.1MB scoped
+    vmem double-buffered, enough to OOM the C=128 conv).
     """
     queries: jax.Array       # [K_out_pad, Ta] int32, monotone per column
     inb: jax.Array           # [K_out_pad, Ta] bool — tap in-bounds & valid
     starts: jax.Array        # [Ta, n_tiles + 1] int32 slab brackets
     qs: jax.Array            # [n_tiles*kx*tile, G] int32 stacked queries
-    inbs: jax.Array          # [n_tiles*kx*tile, G] int32 stacked inb
+    inb32: jax.Array         # [K_out_pad, Ta] int32 (the kernel block)
     kx: int = dataclasses.field(metadata=dict(static=True))   # taps / group
     k_out: int = dataclasses.field(metadata=dict(static=True))  # un-padded
     tile: int = dataclasses.field(metadata=dict(static=True))
@@ -160,7 +162,7 @@ def build_plan(in_keys: jax.Array, query_keys: jax.Array, inb: jax.Array,
             0, 3, 1, 2).reshape(n_tiles * kx * tile, groups)
 
     return MatchPlan(queries=query_keys, inb=inb, starts=starts,
-                     qs=stack(query_keys), inbs=stack(inb.astype(jnp.int32)),
+                     qs=stack(query_keys), inb32=inb.astype(jnp.int32),
                      kx=kx, k_out=k_out, tile=tile)
 
 
@@ -447,25 +449,15 @@ def _match_kernel(starts_ref, q_ref, inb_ref, keys_hbm, featsT_hbm, w_ref,
                     0, nch, chunk,
                     jnp.zeros((eff_kx * tile, cp), jnp.float32))
 
-            if stack_taps:
-                # group-vectorized epilogue: hi/lo reduce + in-bounds mask
-                # for all kx taps in TWO VPU ops (the per-tap version
-                # issued ~3*taps Mosaic ops per tile — the dominant cost
-                # for small-C convs) and ONE gall column write per group
-                g_all = run_group(0)                      # [kx*T, cp]
-                if parts == 2:
-                    g_all = g_all[:, :cin] + g_all[:, cin:]
-                g_all = g_all * inb_ref[:, g:g + 1].astype(jnp.float32)
-                gall[:, g * cin:(g + 1) * cin] = g_all
-                continue
+            g_all = run_group(0) if stack_taps else None
 
             for j in range(kx):
                 t = g * kx + j
-                g_t = run_group(j)
+                g_t = (g_all[j * tile:(j + 1) * tile] if stack_taps
+                       else run_group(j))
                 if parts == 2:
                     g_t = g_t[:, :cin] + g_t[:, cin:]
-                g_t = g_t * inb_ref[pl.ds(j * tile, tile),
-                                    g:g + 1].astype(jnp.float32)
+                g_t = g_t * inb_ref[:, t:t + 1].astype(jnp.float32)
                 if fuse_gall:
                     gall[:, t * cin:(t + 1) * cin] = g_t
                 else:
@@ -488,23 +480,7 @@ def _match_kernel(starts_ref, q_ref, inb_ref, keys_hbm, featsT_hbm, w_ref,
                                    g_lo, w_hi, nt,
                                    preferred_element_type=jnp.float32))
 
-        if stack_taps:
-            # gall is [kx*tile, groups*cin] with row j*tile + r; apply the
-            # (j, g, c)-ordered weights as kx HIGHEST GEMMs — no per-tap
-            # slicing, no transpose
-            acc = jax.lax.dot_general(
-                gall[pl.ds(0, tile), :], w_ref[0],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            for j in range(1, kx):
-                acc = acc + jax.lax.dot_general(
-                    gall[pl.ds(j * tile, tile), :], w_ref[j],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-            out_ref[:] = acc.astype(out_ref.dtype)
-        elif fuse_gall:
+        if fuse_gall:
             out_ref[:] = jax.lax.dot_general(
                 gall[:], w_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -560,20 +536,13 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
     # metric) compiles, C=128->192 (8.9MB) and C=192->192 (13.3MB) OOM.
     fuse_gall = ta * cin_pad * (tile + 2 * cout) * 4 <= 8 * 1024 * 1024
     # stacking adds [kx*tile, cp] fp32 + [kx*tile, cw] bf16 on the stack;
-    # safe alongside the fused epilogue up to ~2.2MB of accumulator
-    # (C=128 at 2.36MB measured 16.53M scoped vmem - 540KB over the limit)
+    # safe alongside the fused epilogue up to ~2.6MB of accumulator
     stack_taps = (plan.kx > 1 and fuse_gall
-                  and plan.kx * tile * cp * 4 <= 2300 * 1024)
+                  and plan.kx * tile * cp * 4 <= 5 * 2048 * 256)
     groups = ta // plan.kx
     w32 = jnp.zeros((ta, cin_pad, cout), jnp.float32).at[:, :cin, :].set(
         weights.astype(jnp.float32))
-    if stack_taps:
-        # (j, g, c)-ordered weights matching the [kx*tile, groups*cin]
-        # gall layout of the group-vectorized epilogue
-        w_arg = w32.reshape(groups, plan.kx, cin_pad, cout).transpose(
-            1, 0, 2, 3).reshape(plan.kx, groups * cin_pad, cout)
-        gall_shape = (plan.kx * tile, groups * cin_pad)
-    elif fuse_gall:
+    if fuse_gall:
         w_arg = w32.reshape(ta * cin_pad, cout)
         gall_shape = (tile, ta * cin_pad)
     else:
@@ -592,7 +561,7 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
     # per chunk and is unsupported by Mosaic's concat anyway)
     kx = plan.kx
     q_stacked = plan.qs
-    inb_stacked = plan.inbs
+    inb_arg = plan.inb32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -600,8 +569,8 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
         in_specs=[
             pl.BlockSpec((kx * tile, groups), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),        # stacked queries
-            pl.BlockSpec((kx * tile, groups), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),        # stacked inb
+            pl.BlockSpec((tile, ta), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),        # inb
             pl.BlockSpec(memory_space=pltpu.HBM),         # keys
             pl.BlockSpec(memory_space=pltpu.HBM),         # featsT
             pl.BlockSpec(memory_space=pltpu.VMEM),        # weights
@@ -626,7 +595,7 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
             flops=flops, bytes_accessed=n_tiles * 27 * slab * cin * 2,
             transcendentals=0),
         interpret=interpret,
-    )(plan.starts, q_stacked, inb_stacked, keys_p,
+    )(plan.starts, q_stacked, inb_arg, keys_p,
       feats_t, w_arg)
     return out
 
@@ -800,7 +769,7 @@ def plan_rows(in_keys: jax.Array, plan: MatchPlan,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, ta), jnp.int32),
         interpret=interpret,
-    )(plan.starts, q_stacked, plan.inb.astype(jnp.int32), keys_p)
+    )(plan.starts, q_stacked, plan.inb32, keys_p)
 
 
 def rows_gather_conv(feats: jax.Array, rows: jax.Array,
