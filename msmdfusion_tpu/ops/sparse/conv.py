@@ -298,11 +298,17 @@ def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
     head = jnp.concatenate(
         [(skey[:1] != INT_MAX),
          (skey[1:] != skey[:-1]) & (skey[1:] != INT_MAX)])
-    # rank of each unique key; take the first `capacity` (keys ascending)
+    # rank of each unique key; take the first `capacity` (keys ascending).
+    # ALL entries scatter (duplicates write the identical key value, the
+    # INT_MAX tail and overflow park at the discarded `capacity` slot), so
+    # the index vector is non-decreasing and XLA gets the sorted-scatter
+    # fast path instead of the general serialization
     rank = jnp.cumsum(head.astype(jnp.int32)) - 1
-    slot = jnp.where(head & (rank < capacity), rank, capacity)
+    slot = jnp.where(skey != INT_MAX,
+                     jnp.minimum(rank, capacity), capacity)
     out_keys = jnp.full((capacity + 1,), INT_MAX, jnp.int32)
-    out_keys = out_keys.at[slot].set(skey, mode='drop')
+    out_keys = out_keys.at[slot].set(skey, mode='drop',
+                                     indices_are_sorted=True)
     out_keys = out_keys[:capacity]
     out_valid = out_keys != INT_MAX
     out_coords = jnp.where(out_valid[:, None],

@@ -191,10 +191,14 @@ def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
     group = jnp.minimum(group, capacity)
     out_feats = jax.ops.segment_sum(
         jnp.where(svalid[:, None], sfeat, 0), group,
-        num_segments=capacity + 1)[:capacity]
+        num_segments=capacity + 1,
+        indices_are_sorted=True)[:capacity]
     out_keys = jnp.full((capacity + 1,), INT_MAX, jnp.int32)
-    out_keys = out_keys.at[jnp.where(head, group, capacity)].set(
-        skey, mode='drop')
+    # duplicates of a group write the identical key and invalid rows park
+    # at the discarded capacity slot -> indices stay sorted (fast scatter)
+    out_keys = out_keys.at[jnp.where(svalid, group, capacity)].set(
+        jnp.where(svalid, skey, INT_MAX), mode='drop',
+        indices_are_sorted=True)
     out_keys = out_keys[:capacity]
     out_valid = out_keys != INT_MAX
     coords = unpack_keys(out_keys, a.spatial_shape)

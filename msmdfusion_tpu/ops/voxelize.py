@@ -248,16 +248,23 @@ def voxelize_mean_batch(points, point_mask, voxel_size, point_cloud_range,
     seg = jnp.where(sorted_valid & (slot < v), slot, v)
 
     sorted_feats = flat[order]
+    # seg is non-decreasing (cumsum slots, INT_MAX/overflow parked at the
+    # terminal v) -> sorted-segment fast paths
     sums = jax.ops.segment_sum(
         jnp.where((seg < v)[:, None], sorted_feats, 0), seg,
-        num_segments=v + 1)[:v]
+        num_segments=v + 1, indices_are_sorted=True)[:v]
     counts = jax.ops.segment_sum((seg < v).astype(jnp.float32), seg,
-                                 num_segments=v + 1)[:v]
+                                 num_segments=v + 1,
+                                 indices_are_sorted=True)[:v]
     feats = sums / jnp.maximum(counts[:, None], 1)
     voxel_valid = counts > 0
 
     out_keys = jnp.full((v + 1,), INT_MAX, jnp.int32)
-    out_keys = out_keys.at[jnp.where(head, slot, v)].set(skey, mode='drop')
+    # duplicates write the identical key; invalid tail parks at v -> the
+    # scatter indices stay sorted
+    out_keys = out_keys.at[jnp.where(sorted_valid, jnp.minimum(slot, v),
+                                     v)].set(
+        skey, mode='drop', indices_are_sorted=True)
     out_keys = out_keys[:v]
     xc = out_keys % gx
     rest = out_keys // gx
