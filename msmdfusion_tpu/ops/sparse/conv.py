@@ -35,6 +35,37 @@ from .tensor import (INT_MAX, SparseTensor, build_hash_table, lookup,
                      make_sparse_tensor, pack_keys, unpack_keys)
 
 
+def _blocked_cumsum_i32(v: jax.Array) -> jax.Array:
+    """Inclusive int32 prefix sum via MXU triangular matmuls.
+
+    1-D cumsums over ~1M elements lower to multi-pass reductions on
+    T(1024)-tiled data; two levels of [n, 512] x lower-triangular GEMMs
+    (fp32 exact for sums < 2^24) ride the MXU instead. Falls back to
+    jnp.cumsum off-TPU or when exactness could overflow fp32.
+    """
+    n = v.shape[0]
+    B = 512
+    if jax.default_backend() != 'tpu' or n < 4 * B or n >= (1 << 24):
+        return jnp.cumsum(v)
+    pad = (-n) % B
+    f = jnp.pad(v, (0, pad)).reshape(-1, B).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((B, B), jnp.float32))
+    within = jax.lax.dot_general(f, tri, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    block_tot = within[:, -1]
+    nb = block_tot.shape[0]
+    pad2 = (-nb) % B
+    bt = jnp.pad(block_tot, (0, pad2)).reshape(-1, B)
+    w2 = jax.lax.dot_general(bt, tri, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    t2 = w2[:, -1]
+    off2 = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                            jnp.cumsum(t2)[:-1]])
+    offsets = (w2 + off2[:, None] - bt).reshape(-1)[:nb]   # exclusive
+    out = (within + offsets[:, None]).reshape(-1)[:n]
+    return out.astype(jnp.int32)
+
+
 def _triple(v) -> Tuple[int, int, int]:
     if isinstance(v, (list, tuple)):
         assert len(v) == 3
@@ -303,7 +334,7 @@ def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
     # INT_MAX tail and overflow park at the discarded `capacity` slot), so
     # the index vector is non-decreasing and XLA gets the sorted-scatter
     # fast path instead of the general serialization
-    rank = jnp.cumsum(head.astype(jnp.int32)) - 1
+    rank = _blocked_cumsum_i32(head.astype(jnp.int32)) - 1
     slot = jnp.where(skey != INT_MAX,
                      jnp.minimum(rank, capacity), capacity)
     out_keys = jnp.full((capacity + 1,), INT_MAX, jnp.int32)

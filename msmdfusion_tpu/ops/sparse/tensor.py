@@ -186,7 +186,8 @@ def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
     svalid = valid[order]
     n = skey.shape[0]
     head = jnp.concatenate([svalid[:1], (skey[1:] != skey[:-1]) & svalid[1:]])
-    group = jnp.cumsum(head.astype(jnp.int32)) - 1
+    from .conv import _blocked_cumsum_i32
+    group = _blocked_cumsum_i32(head.astype(jnp.int32)) - 1
     group = jnp.where(svalid, group, capacity)  # park invalid out of range
     group = jnp.minimum(group, capacity)
     out_feats = jax.ops.segment_sum(
