@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.sparse.conv import downsample_out_coords
+from ...ops.nn_argmin import masked_nn
 from ...ops.sparse.tensor import (INT_MAX, SparseTensor,
                                   lookup_sorted_pair, make_sparse_tensor,
                                   sparse_add)
@@ -86,27 +87,18 @@ def approx_nn_3d(query_coords, query_valid, key_coords, key_valid,
     reps_b = qb[rep_rows]
     reps_valid = query_valid[rep_rows]
 
-    def dist2(a, ab, b, bb):
-        prod = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
-        d = (jnp.sum(a * a, -1)[:, None] + jnp.sum(b * b, -1)[None, :]
-             - 2.0 * prod)
-        same_batch = ab[:, None] == bb[None, :]
-        return jnp.where(same_batch, jnp.maximum(d, 0.0), jnp.inf)
-
-    # NN 3D voxel of each representative
-    d_rk = dist2(reps, reps_b, k, kb)                    # [R, K3]
-    d_rk = jnp.where(key_valid[None, :], d_rk, jnp.inf)
-    nn_row = jnp.argmin(d_rk, axis=1)                    # [R]
-    nn_dist = jnp.sqrt(jnp.min(d_rk, axis=1))
-    rep_ok = reps_valid & (nn_dist < dist_thresh)
+    # both directions run through the fused distance+argmin kernel — the
+    # [A, B] fp32 distance matrices (~1.3GB each at full scale) never
+    # materialize in HBM (ops/nn_argmin.py)
+    nn_row, nn_d2 = masked_nn(reps, reps_b, k, kb, key_valid)
+    rep_ok = reps_valid & (jnp.sqrt(nn_d2) < dist_thresh)
 
     # each query joins its nearest representative within `radius`
-    d_qr = dist2(q, qb, reps, reps_b)                    # [K2, R]
-    d_qr = jnp.where(reps_valid[None, :], d_qr, jnp.inf)
-    best_rep = jnp.argmin(d_qr, axis=1)
-    best_d = jnp.sqrt(jnp.min(d_qr, axis=1))
-    assigned = query_valid & (best_d <= radius) & rep_ok[best_rep]
-    return jnp.where(assigned, nn_row[best_rep], -1)
+    best_rep, best_d2 = masked_nn(q, qb, reps, reps_b, reps_valid)
+    safe_rep = jnp.maximum(best_rep, 0)
+    assigned = (query_valid & (best_rep >= 0)
+                & (jnp.sqrt(best_d2) <= radius) & rep_ok[safe_rep])
+    return jnp.where(assigned, nn_row[safe_rep], -1)
 
 
 @MIDDLE_ENCODERS.register('SparseMultiModalEncoderPaint')

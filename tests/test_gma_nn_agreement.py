@@ -113,3 +113,31 @@ def test_approx_nn_matches_reference_algorithm(stage, rng):
     # keys must be no farther on average than one ball radius
     assert cov_ours >= 0.95 * cov_oracle, (cov_ours, cov_oracle)
     assert excess <= radius, excess
+
+
+def test_masked_nn_kernel_matches_bruteforce(rng):
+    """Fused distance+argmin (interpret + fallback) == numpy brute force,
+    incl. batch separation, invalid keys, and first-index tie-breaks."""
+    import jax.numpy as jnp
+    from msmdfusion_tpu.ops.nn_argmin import masked_nn
+    na, nb = 700, 900
+    a = rng.randint(0, 40, (na, 3)).astype(np.float32)
+    b = rng.randint(0, 40, (nb, 3)).astype(np.float32)
+    ab = rng.randint(0, 2, na).astype(np.int32)
+    bb = rng.randint(0, 2, nb).astype(np.int32)
+    bv = rng.rand(nb) > 0.2
+
+    d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    ok = (ab[:, None] == bb[None, :]) & bv[None, :]
+    d = np.where(ok, d, np.inf)
+    ref_idx = np.where(np.isfinite(d.min(1)), d.argmin(1), -1)
+    ref_d2 = d.min(1)
+
+    for interp in (False, True):
+        idx, d2 = masked_nn(jnp.asarray(a), jnp.asarray(ab), jnp.asarray(b),
+                            jnp.asarray(bb), jnp.asarray(bv),
+                            interpret=interp)
+        idx, d2 = np.asarray(idx), np.asarray(d2)
+        np.testing.assert_array_equal(idx, ref_idx)
+        finite = np.isfinite(ref_d2)
+        np.testing.assert_allclose(d2[finite], ref_d2[finite], atol=1e-3)
