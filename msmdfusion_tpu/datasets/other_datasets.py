@@ -30,14 +30,32 @@ class WaymoDataset(KittiDataset):
         if load_interval > 1:
             self.data_infos = self.data_infos[::load_interval]
 
-    def evaluate(self, results, metric='kitti', iou_thr=(0.7, 0.5, 0.5),
+    def evaluate(self, results, metric='waymo', iou_thr=(0.7, 0.5, 0.5),
                  **kwargs):
-        # The official LET metrics need waymo-open-dataset (not bundled;
-        # reference waymo_utils/prediction_kitti_to_waymo.py:261 converts
-        # to protos for it). Waymo infos are KITTI-format, so the full
-        # difficulty-bucketed KITTI protocol runs natively; BEV AP-R40 is
-        # the minimal fallback.
-        return super().evaluate(results, metric=metric, iou_thr=iou_thr)
+        """metric='waymo': native L1/L2 3D mAP/mAPH protocol
+        (core/evaluation/waymo_eval.py) — the reference has no in-tree
+        equivalent (waymo_utils/prediction_kitti_to_waymo.py:261 converts
+        to protos and shells out to the waymo-open-dataset binary).
+        metric='kitti'/'bev': the KITTI-format protocols of the base class.
+        """
+        if metric != 'waymo':
+            return super().evaluate(results, metric=metric, iou_thr=iou_thr)
+        from ..core.evaluation.waymo_eval import waymo_eval
+        gts = []
+        for i in range(len(results)):
+            ann = self.get_ann_info(i)
+            gt = dict(boxes=ann['gt_bboxes_3d'], labels=ann['gt_labels_3d'])
+            annos = self.data_infos[i].get('annos', {})
+            if 'num_points_in_gt' in annos:
+                keep = annos['name'] != 'DontCare'
+                gt['num_points'] = np.asarray(
+                    annos['num_points_in_gt'])[keep]
+            gts.append(gt)
+        dts = [dict(boxes=r['bboxes'], labels=r['labels'],
+                    scores=r['scores']) for r in results]
+        report, metrics = waymo_eval(gts, dts, list(self.CLASSES))
+        print(report)
+        return metrics
 
 
 @DATASETS.register('LyftDataset')
