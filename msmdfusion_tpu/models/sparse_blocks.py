@@ -18,9 +18,10 @@ from flax import linen as nn
 from ..ops.sparse.conv import downsample_out_coords, kernel_offsets
 from ..ops.sparse.dense_tail import dense_sparse_conv, use_dense
 from ..ops.sparse.matchconv import (DEFAULT_SLAB, ROWS_MIN_C,
-                                    apply_match_conv, build_downsample_plan,
-                                    build_subm_plan, plan_rows,
-                                    rows_gather_conv)
+                                    apply_match_conv, attach_rows,
+                                    build_downsample_plan, build_subm_plan,
+                                    plan_rows, rows_gather_conv, use_pallas,
+                                    use_vgather)
 from ..ops.sparse.tensor import SparseTensor
 from .layers import MaskedBatchNorm, get_activation, torch_conv_init
 
@@ -74,6 +75,12 @@ class SubMConv3d(nn.Module):
             plan = build_subm_plan(st, self.kernel_size,
                                    **({'tile': self.tile} if self.tile
                                       else {}))
+            if use_vgather() and use_pallas():
+                # rulebook rows once per indice_key: every conv on this
+                # coordinate set then skips the one-hot match entirely
+                plan = attach_rows(st.keys, plan,
+                                   slab=self.slab or DEFAULT_SLAB,
+                                   cw=self.cw)
             cache[key] = plan
         if st.num_channels >= ROWS_MIN_C > 0:
             # wide channels: extract the rulebook rows once per indice_key
@@ -135,6 +142,10 @@ class SparseConv3d(nn.Module):
                 st, out_coords, out_valid, self.kernel_size, self.stride,
                 self.padding,
                 **({'tile': self.tile} if self.tile else {}))
+            if plan is not None and use_vgather() and use_pallas():
+                plan = attach_rows(st.keys, plan,
+                                   slab=self.slab or DEFAULT_SLAB,
+                                   cw=self.cw)
             entry = (out_keys, out_coords, out_valid, out_shape, plan)
             cache[key] = entry
         out_keys, out_coords, out_valid, out_shape, plan = entry

@@ -27,6 +27,7 @@ from msmdfusion_tpu.ops.nn_argmin import masked_nn
 from msmdfusion_tpu.ops.sparse.matchconv import (
     MatchPlan,
     apply_match_conv,
+    attach_rows,
     build_downsample_plan,
     build_inverse_plan,
     build_plan,
@@ -35,10 +36,12 @@ from msmdfusion_tpu.ops.sparse.matchconv import (
     plan_rows,
     rows_gather_conv,
     use_pallas,
+    use_vgather,
 )
 
 __all__ = [
-    'MatchPlan', 'apply_match_conv', 'build_downsample_plan',
-    'build_inverse_plan', 'build_plan', 'build_subm_plan', 'match_conv',
-    'masked_nn', 'plan_rows', 'rows_gather_conv', 'use_pallas',
+    'MatchPlan', 'apply_match_conv', 'attach_rows',
+    'build_downsample_plan', 'build_inverse_plan', 'build_plan',
+    'build_subm_plan', 'match_conv', 'masked_nn', 'plan_rows',
+    'rows_gather_conv', 'use_pallas', 'use_vgather',
 ]

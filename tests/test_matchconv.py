@@ -141,3 +141,57 @@ def test_pallas_matches_oracle_precisely(rng):
         ko = plan.k_out
         rel = np.abs(out[:ko] - ref[:ko]).max() / np.abs(ref).max()
         assert rel < 1e-4, f'C={c}: rel err {rel}'
+
+
+def test_attach_rows_layout_matches_searchsorted(rng):
+    """rows_stack is the fat lane-stacked view of the exact match rows.
+
+    The VMEM-gather kernel (reference: spconv rulebook reuse across convs
+    sharing an indice_key, mmdet3d/ops/spconv/ops.py:46-128) reads lane
+    (g*kx + j)*tile + t of tile i as the matched input row of output
+    i*tile + t under tap g*kx + j; all 8 sublanes are duplicates (Mosaic's
+    pltpu.repeat needs a full sublane block).
+    """
+    st = make_st(rng, 512, 400, (9, 24, 24), 16)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    plan = mc.attach_rows(st.keys, plan, interpret=True)
+    rows_ref = np.asarray(mc._rows_from_plan(st.keys, plan)).T  # [K_pad, Ta]
+    rs = np.asarray(plan.rows_stack)
+    n_tiles, tile, ta = plan.n_tiles, plan.tile, plan.num_taps
+    assert rs.shape == (n_tiles * 8, ta * tile)
+    got = rs.reshape(n_tiles, 8, ta, tile)
+    np.testing.assert_array_equal(got[:, 0], got[:, 7])  # dup sublanes
+    want = rows_ref.reshape(n_tiles, tile, ta).transpose(0, 2, 1)
+    np.testing.assert_array_equal(got[:, 0], want)
+    live = np.asarray(plan.live32)
+    q0 = np.asarray(plan.queries)[::tile, 0]
+    np.testing.assert_array_equal(live, (q0 != INT_MAX).astype(np.int32))
+
+
+def test_match_conv_dispatch_with_rows_on_cpu(rng):
+    """A rows-attached plan still runs the XLA fallback off-TPU."""
+    st = make_st(rng, 256, 200, (5, 16, 16), 8)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    plan = mc.attach_rows(st.keys, plan, interpret=True)
+    w = jnp.asarray((rng.randn(27, 8, 8) * 0.1).astype(np.float32))
+    out = mc.match_conv(st.features, st.keys, (plan, w), 1024)
+    ref = mc._fallback_conv(st.features, st.keys, plan, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='Pallas kernel requires TPU')
+def test_vgather_matches_oracle_precisely(rng):
+    """VMEM-gather backend vs the plan-rows fp64 oracle (subm + strided)."""
+    for c, cout in [(16, 16), (80, 96)]:
+        st = make_st(rng, 4096, 3200, (21, 180, 180), c)
+        plan = mc.attach_rows(st.keys, mc.build_subm_plan(st, 3))
+        w = (rng.randn(27, c, cout) * 0.1).astype(np.float32)
+        out = mc._vgather_conv(st.features, plan, jnp.asarray(w))
+        assert out is not None
+        out = np.asarray(out)
+        ref = oracle_conv(st, plan, w)
+        ko = plan.k_out
+        rel = np.abs(out[:ko] - ref[:ko]).max() / np.abs(ref).max()
+        assert rel < 1e-5, f'C={c}: rel err {rel}'
