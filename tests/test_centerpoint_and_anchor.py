@@ -1,5 +1,6 @@
 """CenterPoint + anchor-head detector forward/loss/decode smoke tests."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +17,7 @@ def make_points(rng, b=1, n=256):
         axis=-1).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_centerpoint_forward_loss_decode(rng):
     model = CenterPoint(
         pts_voxel_layer=dict(max_num_points=4, voxel_size=VOX,
@@ -82,6 +84,7 @@ def test_centerpoint_forward_loss_decode(rng):
     assert 'task1.loss_bbox' in losses
 
 
+@pytest.mark.slow
 def test_anchor_voxelnet_forward_loss_decode(rng):
     model = VoxelNet(
         pts_voxel_layer=dict(max_num_points=4, voxel_size=VOX,
@@ -136,6 +139,7 @@ def test_anchor_voxelnet_forward_loss_decode(rng):
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_free_anchor_head_loss_and_decode(rng):
     """FreeAnchor bag losses: finite, positive, and sensitive to gt fit
     (reference free_anchor3d_head.py:43-245)."""
@@ -184,6 +188,7 @@ def test_free_anchor_head_loss_and_decode(rng):
     assert dets['boxes'].shape[0] == 2
 
 
+@pytest.mark.slow
 def test_shape_aware_head_forward_loss_decode(rng):
     """Per-group sub-heads with different strides, concatenated anchors
     (reference shape_aware_head.py:139-482)."""
@@ -228,6 +233,7 @@ def test_shape_aware_head_forward_loss_decode(rng):
     assert dets['boxes'].shape[0] == 2
 
 
+@pytest.mark.slow
 def test_parta2_rpn_head_proposals(rng):
     """Class-agnostic proposal NMS keeps the top scored boxes
     (reference parta2_rpn_head.py:126-311)."""

@@ -79,6 +79,7 @@ def _iou_bev_oracle(a, b):
     return inter / max(ua, 1e-9)
 
 
+@pytest.mark.slow
 def test_iou_bev_vs_polygon_oracle(rng):
     boxes_a, boxes_b = [], []
     for _ in range(30):
@@ -121,6 +122,7 @@ def test_iou_3d_height_overlap():
 # NMS golden cases
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_nms_bev_golden():
     boxes = jnp.asarray([
         [0, 0, 2, 2, 0.0],      # best
@@ -153,6 +155,7 @@ def test_aligned_3d_nms_classwise():
     assert kept == {0, 2}, kept
 
 
+@pytest.mark.slow
 def test_multiclass_nms_score_threshold(rng):
     n, c = 8, 3
     boxes3d = np.zeros((n, 9), np.float32)

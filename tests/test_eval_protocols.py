@@ -43,6 +43,7 @@ def _scene(rng, n, label=0):
     return boxes
 
 
+@pytest.mark.slow
 def test_indoor_eval_perfect_and_missed(rng):
     gts, dets = [], []
     for s in range(4):
@@ -62,6 +63,7 @@ def test_indoor_eval_perfect_and_missed(rng):
     assert m2['mAR_0.25'] < 0.8
 
 
+@pytest.mark.slow
 def test_indoor_eval_duplicate_detection_is_fp(rng):
     b = _scene(rng, 1)
     gts = [dict(gt_bboxes_3d=b, gt_labels_3d=np.zeros(1, np.int64))]
@@ -75,6 +77,7 @@ def test_indoor_eval_duplicate_detection_is_fp(rng):
     assert m_rec == 1.0
 
 
+@pytest.mark.slow
 def test_lyft_eval_native_threshold_sweep(rng):
     gts, dets = [], []
     for s in range(3):
@@ -109,6 +112,7 @@ def test_seg_eval_golden():
     np.testing.assert_allclose(iou, [2 / 3, 0.5, 1.0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fpnc_and_scconv_necks(rng):
     """Registered extra necks produce the documented shapes
     (reference fpnc.py:97-119, scconv.py:179-197)."""

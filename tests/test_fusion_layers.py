@@ -63,6 +63,7 @@ def test_bilinear_sample_exact_on_linear_field(rng):
                                + 5, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_vote_fusion_shapes_and_semantics(rng):
     vf = fl.VoteFusion(num_classes=4, max_imvote_per_pixel=3)
     s, b = 32, 5

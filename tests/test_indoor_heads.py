@@ -133,6 +133,7 @@ def test_h3dnet_forward_loss_decode(rng):
     assert out['bboxes'].shape == (1, 8, 7)
 
 
+@pytest.mark.slow
 def test_imvotenet_vote_fusion_path(rng):
     """ImVoteNet with 2D detections: VoteFusion cues concatenate into the
     seed features (reference imvotenet.py + vote_fusion.py:12-212)."""

@@ -1,5 +1,6 @@
 """TransFusionHead forward / loss / decode smoke tests (small shapes)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -60,6 +61,7 @@ def test_forward_and_decode(rng):
     assert res['valid'].dtype == bool
 
 
+@pytest.mark.slow
 def test_loss(rng):
     head = make_head()
     x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
