@@ -206,9 +206,14 @@ class MSMDFusionDetector(nn.Module):
             max_voxels * batch_size)
         if self.compute_dtype == 'bfloat16':
             voxel_features = voxel_features.astype(jnp.bfloat16)
-        x, encode_features = self.middle_encoder(
+        x, encode_features, enc_cache = self.middle_encoder(
             voxel_features, coors, valid, batch_size, train=train,
-            assume_sorted=True)
+            assume_sorted=True, return_cache=True)
+        # the GMA grouped only-3D convs run on exactly these coordinate
+        # sets: hand them the encoder's rulebooks (spconv indice_key reuse)
+        # so they skip 4 plan+rows builds (~20 ms/iter at full scale)
+        shared_plans = [enc_cache.get(('subm', f'subm{i + 1}'))
+                        for i in range(4)]
 
         # multi-scale 2D-branch voxels (reference
         # extract_multiscale_voxel_feat, :400-418)
@@ -226,7 +231,7 @@ class MSMDFusionDetector(nn.Module):
         stage_outs = self.mm_encoder(
             encode_features[:4], voxel_2d_list, self.fps_num_list,
             self.radius_list, self.max_cluster_samples_list,
-            self.dist_thresh_list, train=train)
+            self.dist_thresh_list, train=train, shared_plans=shared_plans)
 
         x_mm = to_dense_bev(stage_outs[-1])          # [B, 180, 180, 384]
         x = self.bev_fusion(jnp.concatenate([x, x_mm], axis=-1), train=train)

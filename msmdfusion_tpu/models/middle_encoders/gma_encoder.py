@@ -118,7 +118,14 @@ class SparseMultiModalEncoderPaint(nn.Module):
     @nn.compact
     def __call__(self, voxel_3d_list, voxel_2d_list, fps_num_list, radius_list,
                  max_cluster_samples_list, dist_thresh_list,
-                 train: bool = False):
+                 train: bool = False, shared_plans=None):
+        """shared_plans: optional per-stage subm MatchPlans for the
+        voxel_3d_list coordinate sets (the lidar encoder's rulebooks).
+        When given, the grouped only-3D convs skip their own plan+rows
+        build: features are zero outside the only-3D subset, so matched
+        neighbors from the full set contribute exactly zero and the
+        subset conv result is unchanged (spconv cross-module indice_key
+        reuse, reference ops/sparse_block.py:159)."""
         stage_outs: List[SparseTensor] = []
         for i in range(len(voxel_2d_list)):
             v3, v2 = voxel_3d_list[i], voxel_2d_list[i]
@@ -155,17 +162,29 @@ class SparseMultiModalEncoderPaint(nn.Module):
                                  feats_2d)
 
             # ---- grouped conv on only-3D rows ----
+            # keys stay UNMASKED: the conv is linear, so matched neighbors
+            # outside the only-3D subset contribute w @ 0 = 0 and the full
+            # v3 rulebook (shared with the lidar encoder when available)
+            # computes the identical subset conv
             only_3d_st = SparseTensor(
                 features=jnp.where(split['only_3d'][:, None], v3.features, 0),
-                coords=jnp.where(split['only_3d'][:, None], v3.coords, -1),
+                coords=v3.coords,
                 valid=split['only_3d'],
-                keys=jnp.where(split['only_3d'], v3.keys, INT_MAX),
+                keys=v3.keys,
                 spatial_shape=v3.spatial_shape, batch_size=v3.batch_size)
+            grouped_cache = {}
+            if (shared_plans is not None and shared_plans[i] is not None
+                    # the stage mapping (encode_features[i] <-> subm{i+1})
+                    # holds for block_type='basicblock' encoders; a capacity
+                    # mismatch means a different stage layout — skip sharing
+                    and shared_plans[i].k_out == v3.capacity):
+                grouped_cache[('subm', f'subm3D_{i + 1}')] = shared_plans[i]
             only_3d_st, _ = SparseConvBlock(
                 c3, 3, padding=1, conv_type='SubMConv3d',
                 indice_key=f'subm3D_{i + 1}', order=self.order,
                 norm_eps=self.norm_eps, norm_momentum=self.norm_momentum,
-                name=f'grouped_3d_{i}')(only_3d_st, {}, train=train)
+                name=f'grouped_3d_{i}')(only_3d_st, grouped_cache,
+                                        train=train)
 
             # ---- union: only-3D [f3|0], only-2D [0|f2], mixed [f3|g*f2] ----
             pad3 = jnp.zeros((v3.capacity, c2), v3.features.dtype)

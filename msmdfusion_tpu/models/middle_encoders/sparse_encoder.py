@@ -42,11 +42,16 @@ class SparseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, coors, valid, batch_size: int,
-                 train: bool = False, assume_sorted: bool = False):
+                 train: bool = False, assume_sorted: bool = False,
+                 return_cache: bool = False):
         """voxel_features [K, C], coors [K, 4] (b,z,y,x), valid [K].
 
         assume_sorted: rows already ascending in packed key (the fused
         voxelize_mean_batch emits this order) — skips a 120k-row sort.
+        return_cache: also return the indice_key plan cache so consumers
+        on the same coordinate sets (the GMA grouped convs) can reuse the
+        rulebooks instead of re-matching (spconv's cross-module
+        ``indice_key`` reuse, reference ops/sparse_block.py:159).
         """
         assert self.block_type in ('conv_module', 'basicblock')
         st = make_sparse_tensor(voxel_features, coors, valid,
@@ -102,5 +107,7 @@ class SparseEncoder(nn.Module):
             norm_momentum=self.norm_momentum)(st, cache, train=train)
         bev = to_dense_bev(out)  # [B, H, W, C*D]
         if self.return_stages:
+            if return_cache:
+                return bev, encode_features, cache
             return bev, encode_features
         return bev

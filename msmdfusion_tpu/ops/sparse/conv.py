@@ -325,7 +325,10 @@ def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
         ((b[:, None, None, None] * oz + ozz) * oy + oyy) * ox + oxx,
         INT_MAX).reshape(-1).astype(jnp.int32)
 
-    skey = jnp.sort(cand_keys)
+    # jnp.sort defaults to stable=True, which lowers to a 2-operand
+    # (key, iota) sort on TPU — the iota payload doubles the sort traffic
+    # for nothing here, so sort unstable with a single operand
+    skey = jax.lax.sort(cand_keys, is_stable=False)
     head = jnp.concatenate(
         [(skey[:1] != INT_MAX),
          (skey[1:] != skey[:-1]) & (skey[1:] != INT_MAX)])
@@ -335,7 +338,8 @@ def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
     # rank-cumsum + fixed-slot scatter: TPU scatters retire ~1 element per
     # cycle (~6-7ms at 1M candidates, the top XLA fusion in the full-scale
     # flagship trace) while an i32 sort of the same width is ~2ms
-    out_keys = jnp.sort(jnp.where(head, skey, INT_MAX))[:capacity]
+    out_keys = jax.lax.sort(jnp.where(head, skey, INT_MAX),
+                            is_stable=False)[:capacity]
     out_valid = out_keys != INT_MAX
     out_coords = jnp.where(out_valid[:, None],
                            unpack_keys(out_keys, out_shape), -1)

@@ -88,6 +88,18 @@ def use_vgather() -> bool:
     return os.environ.get('MSMD_CONV_ALGO', 'vgather') == 'vgather'
 
 
+def gemm_mode() -> str:
+    """Weight-GEMM precision inside the conv kernels.
+
+    'x3': bf16 hi/lo split of both operands, 3 MXU passes (hi.hi + hi.lo +
+    lo.hi), ~2^-17 relative error — half the MXU work of 'highest' (6
+    passes); the wide-channel GMA aggregation convs are MXU-bound at
+    full scale so this is ~2x on their GEMM portion. 'highest' restores
+    the 6-pass fp32-exactish contraction (MSMD_CONV_GEMM=highest).
+    """
+    return os.environ.get('MSMD_CONV_GEMM', 'x3')
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MatchPlan:
@@ -637,7 +649,7 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
 
 def _vgather_kernel(starts_ref, live_ref, rT_ref, feats_hbm, w_ref, o_ref,
                     fslab, sem_f, *, taps: int, kx: int, cin: int, cout: int,
-                    slab: int, tile: int, cw: int):
+                    slab: int, tile: int, cw: int, gemm: str = 'highest'):
     """One output tile: bracket slab DMAs, butterfly row gather, GEMM."""
     i = pl.program_id(0)
     groups = taps // kx
@@ -696,10 +708,32 @@ def _vgather_kernel(starts_ref, live_ref, rT_ref, feats_hbm, w_ref, o_ref,
                 [g_here[:, j * tile:(j + 1) * tile] for j in range(kx)],
                 axis=0)
             wg = w_ref[g * kx * cin:(g + 1) * kx * cin, :]
-            acc = acc + jax.lax.dot_general(
-                g_stack, wg, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            dims = (((0,), (0,)), ((), ()))
+            if gemm == 'x3':
+                # bf16 hi/lo of BOTH operands, drop lo.lo: 3 MXU passes at
+                # ~2^-17 relative error vs 6 for HIGHEST (in-kernel splits
+                # are not folded away by Mosaic, unlike XLA's
+                # xla_allow_excess_precision pitfall)
+                g_hi = g_stack.astype(jnp.bfloat16)
+                g_lo = (g_stack - g_hi.astype(jnp.float32)).astype(
+                    jnp.bfloat16)
+                w_hi = wg.astype(jnp.bfloat16)
+                w_lo = (wg - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = acc + (
+                    jax.lax.dot_general(
+                        g_hi, w_hi, dims,
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        g_hi, w_lo, dims,
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        g_lo, w_hi, dims,
+                        preferred_element_type=jnp.float32))
+            else:
+                acc = acc + jax.lax.dot_general(
+                    g_stack, wg, dims,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -761,7 +795,7 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
 
     kernel = functools.partial(
         _vgather_kernel, taps=ta, kx=plan.kx, cin=cin_pad, cout=cout,
-        slab=slab, tile=tile, cw=cw)
+        slab=slab, tile=tile, cw=cw, gemm=gemm_mode())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),

@@ -87,11 +87,15 @@ def make_sparse_tensor(features, coords, valid,
     """Build a SparseTensor, establishing the sorted-key invariant."""
     keys = pack_keys(coords, spatial_shape, batch_size, valid)
     if not assume_sorted:
-        order = jnp.argsort(keys)
-        keys = keys[order]
+        # one sort carries the permutation; valid/coords are then derived
+        # ARITHMETICALLY from the sorted keys instead of being gathered —
+        # each narrow per-row gather costs one gather-engine descriptor per
+        # element (~1 ms per 250k rows), and the old path paid three
+        iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        keys, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
         features = features[order]
-        coords = coords[order]
-        valid = valid[order]
+        valid = keys != INT_MAX
+        coords = unpack_keys(jnp.where(valid, keys, 0), spatial_shape)
     features = jnp.where(valid[:, None], features, 0)
     coords = jnp.where(valid[:, None], coords, -1)
     return SparseTensor(features=features, coords=coords, valid=valid,
@@ -179,11 +183,12 @@ def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
     assert a.num_channels == b.num_channels
     keys = jnp.concatenate([a.keys, b.keys])
     feats = jnp.concatenate([a.features, b.features], axis=0)
-    valid = jnp.concatenate([a.valid, b.valid])
-    order = jnp.argsort(keys)
-    skey = keys[order]
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    # sorted keys + permutation in one sort; validity is key != INT_MAX
+    # (saves two narrow per-row gathers — see make_sparse_tensor)
+    skey, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
     sfeat = feats[order]
-    svalid = valid[order]
+    svalid = skey != INT_MAX
     n = skey.shape[0]
     head = jnp.concatenate([svalid[:1], (skey[1:] != skey[:-1]) & svalid[1:]])
     from .conv import _blocked_cumsum_i32
@@ -246,16 +251,18 @@ def lookup_sorted_pair(a_keys, b_keys):
     ka = a_keys.shape[0]
     kb = b_keys.shape[0]
     keys = jnp.concatenate([a_keys, b_keys])
-    tag = jnp.concatenate([jnp.zeros((ka,), jnp.int32),
-                           jnp.ones((kb,), jnp.int32)])
+    tag = jnp.concatenate([jnp.zeros((ka,), jnp.uint32),
+                           jnp.ones((kb,), jnp.uint32)])
     src = jnp.concatenate([jnp.arange(ka, dtype=jnp.int32),
                            jnp.arange(kb, dtype=jnp.int32)])
-    # stable sort keeps a-rows before b-rows on equal keys (the tag bit);
-    # int64 tagging is unavailable with jax x64 disabled (int32 wraps)
-    order = jnp.argsort(keys, stable=True)
-    skey = keys[order]
-    stag = tag[order]
-    ssrc = src[order]
+    # the tag bit is packed INTO the sort key (keys < 2^31, so key*2+tag
+    # fits uint32): one unstable single-key sort replaces the stable
+    # 3-operand argsort + three narrow permutation gathers, and (key, tag)
+    # pairs are unique so the order is still deterministic
+    tagged = keys.astype(jnp.uint32) * 2 + tag
+    stagged, ssrc = jax.lax.sort((tagged, src), num_keys=1, is_stable=False)
+    skey = (stagged >> 1).astype(jnp.int32)
+    stag = (stagged & 1).astype(jnp.int32)
     n = ka + kb
     # an 'a' row at p matches the 'b' row at p+1 iff same key & tag flips
     nxt_same = jnp.concatenate(

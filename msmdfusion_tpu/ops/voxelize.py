@@ -238,8 +238,10 @@ def voxelize_mean_batch(points, point_mask, voxel_size, point_cloud_range,
         coords[:, 1] * gx + coords[:, 2]
     key = jnp.where(valid_pt, key, INT_MAX)
 
-    order = jnp.argsort(key)
-    skey = key[order]
+    # one sort yields both the sorted keys and the permutation (saves the
+    # narrow skey = key[order] gather — one descriptor per element)
+    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+    skey, order = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
     sorted_valid = skey != INT_MAX
     head = jnp.concatenate(
         [sorted_valid[:1], (skey[1:] != skey[:-1]) & sorted_valid[1:]])

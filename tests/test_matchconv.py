@@ -182,16 +182,22 @@ def test_match_conv_dispatch_with_rows_on_cpu(rng):
 
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
                     reason='Pallas kernel requires TPU')
-def test_vgather_matches_oracle_precisely(rng):
-    """VMEM-gather backend vs the plan-rows fp64 oracle (subm + strided)."""
-    for c, cout in [(16, 16), (80, 96)]:
-        st = make_st(rng, 4096, 3200, (21, 180, 180), c)
-        plan = mc.attach_rows(st.keys, mc.build_subm_plan(st, 3))
-        w = (rng.randn(27, c, cout) * 0.1).astype(np.float32)
-        out = mc._vgather_conv(st.features, plan, jnp.asarray(w))
-        assert out is not None
-        out = np.asarray(out)
-        ref = oracle_conv(st, plan, w)
-        ko = plan.k_out
-        rel = np.abs(out[:ko] - ref[:ko]).max() / np.abs(ref).max()
-        assert rel < 1e-5, f'C={c}: rel err {rel}'
+def test_vgather_matches_oracle_precisely(rng, monkeypatch):
+    """VMEM-gather backend vs the plan-rows fp64 oracle (subm + strided).
+
+    Checks both GEMM modes: 'highest' (6-pass, fp32-exactish) and the
+    default 'x3' (bf16 hi/lo, 3 passes, ~2^-17 relative).
+    """
+    for gemm, tol in [('highest', 1e-5), ('x3', 3e-4)]:
+        monkeypatch.setenv('MSMD_CONV_GEMM', gemm)
+        for c, cout in [(16, 16), (80, 96)]:
+            st = make_st(rng, 4096, 3200, (21, 180, 180), c)
+            plan = mc.attach_rows(st.keys, mc.build_subm_plan(st, 3))
+            w = (rng.randn(27, c, cout) * 0.1).astype(np.float32)
+            out = mc._vgather_conv(st.features, plan, jnp.asarray(w))
+            assert out is not None
+            out = np.asarray(out)
+            ref = oracle_conv(st, plan, w)
+            ko = plan.k_out
+            rel = np.abs(out[:ko] - ref[:ko]).max() / np.abs(ref).max()
+            assert rel < tol, f'gemm={gemm} C={c}: rel err {rel}'
