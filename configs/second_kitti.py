@@ -50,7 +50,44 @@ model = dict(
         use_rotate_nms=True, nms_across_levels=False, nms_thr=0.01,
         score_thr=0.1, min_bbox_size=0, nms_pre=100, max_num=50)))
 
-data = dict(samples_per_gpu=6, workers_per_gpu=4)
+# reference configs/_base_/datasets/kitti-3d-3class.py pipelines, with the
+# static-shape PadPoints/PadGroundTruth capacities of this framework
+train_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=4,
+         use_dim=4),
+    dict(type='LoadAnnotations3D', with_bbox_3d=True, with_label_3d=True),
+    dict(type='GlobalRotScaleTrans', rot_range=[-0.78539816, 0.78539816],
+         scale_ratio_range=[0.95, 1.05]),
+    dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='PointShuffle'),
+    dict(type='PadPoints', max_points=max_points_per_sample),
+    dict(type='PadGroundTruth', max_gt=128),
+    dict(type='FormatBundle3D', class_names=class_names),
+]
+test_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=4,
+         use_dim=4),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='PadPoints', max_points=max_points_per_sample),
+    dict(type='FormatBundle3D', class_names=class_names, with_label=False),
+]
+data = dict(
+    samples_per_gpu=6,
+    workers_per_gpu=4,
+    train=dict(type=dataset_type, data_root=data_root,
+               ann_file=data_root + 'kitti_infos_train.pkl',
+               pipeline=train_pipeline, classes=class_names,
+               test_mode=False, box_type_3d='LiDAR'),
+    val=dict(type=dataset_type, data_root=data_root,
+             ann_file=data_root + 'kitti_infos_val.pkl',
+             pipeline=test_pipeline, classes=class_names,
+             test_mode=True, box_type_3d='LiDAR'),
+    test=dict(type=dataset_type, data_root=data_root,
+              ann_file=data_root + 'kitti_infos_val.pkl',
+              pipeline=test_pipeline, classes=class_names,
+              test_mode=True, box_type_3d='LiDAR'))
 optimizer = dict(type='AdamW', lr=0.0018, weight_decay=0.01)
 optimizer_config = dict(grad_clip=dict(max_norm=10, norm_type=2))
 lr_config = dict(policy='cyclic', target_ratio=(10, 1e-4), cyclic_times=1,

@@ -26,6 +26,9 @@ def main():
     model, variables, cfg = init_detector(args.config, args.checkpoint)
     result = inference_detector(model, variables, cfg, args.pcd)
     print(f"{len(result['boxes_3d'])} detections")
+    from msmdfusion_tpu.utils import overflow
+    if overflow.enabled():
+        print(f'overflow counters: {overflow.counters()}')
     pcr = cfg.model.pts_voxel_layer.point_cloud_range
     pts = np.fromfile(args.pcd, np.float32).reshape(-1, 4)
     png = show_bev(pts, result['boxes_3d'], None,

@@ -23,12 +23,13 @@ def unpack_detections(res) -> list:
     here validity masks carry that (shared by tools/test.py and the
     in-training EvalHook).
     """
+    boxes = res['bboxes'] if 'bboxes' in res else res['boxes']
     out = []
-    b = res['bboxes'].shape[0]
+    b = boxes.shape[0]
     for i in range(b):
         valid = np.asarray(res['valid'][i]) if 'valid' in res else \
-            np.ones(res['bboxes'].shape[1], bool)
-        out.append(dict(bboxes=np.asarray(res['bboxes'][i])[valid],
+            np.ones(boxes.shape[1], bool)
+        out.append(dict(bboxes=np.asarray(boxes[i])[valid],
                         scores=np.asarray(res['scores'][i])[valid],
                         labels=np.asarray(res['labels'][i])[valid]))
     return out
@@ -126,8 +127,9 @@ def inference_detector(model, variables, cfg, pcd_path: str,
     preds = model.apply(variables, *inputs, train=False)
     res = model.apply(variables, preds, method=type(model).get_bboxes)
     res = jax.device_get(res)
+    boxes = res['bboxes'] if 'bboxes' in res else res['boxes']
     valid = np.asarray(res['valid'][0]) if 'valid' in res else \
         np.ones(res['scores'].shape[1], bool)
-    return dict(boxes_3d=np.asarray(res['bboxes'][0])[valid],
+    return dict(boxes_3d=np.asarray(boxes[0])[valid],
                 scores_3d=np.asarray(res['scores'][0])[valid],
                 labels_3d=np.asarray(res['labels'][0])[valid])

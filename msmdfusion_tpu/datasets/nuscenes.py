@@ -17,8 +17,12 @@ from ..core.box_np_ops import limit_period_np
 from ..registry import DATASETS
 from .custom_3d import Custom3DDataset
 
-CAM_ORDER = ('CAM_FRONT', 'CAM_FRONT_RIGHT', 'CAM_FRONT_LEFT', 'CAM_BACK',
-             'CAM_BACK_LEFT', 'CAM_BACK_RIGHT')
+# Reference view order (nuscenes_dataset.py:203). The order is load-bearing:
+# the LC head has per-view decoder weights (decoder[2+idx_view]) and the MDU
+# foreground artifacts are indexed per camera, so checkpoints/artifacts built
+# against the reference silently misassign views under any other order.
+CAM_ORDER = ('CAM_FRONT_LEFT', 'CAM_FRONT', 'CAM_FRONT_RIGHT',
+             'CAM_BACK_RIGHT', 'CAM_BACK', 'CAM_BACK_LEFT')
 
 DEFAULT_ATTRIBUTES = {
     'car': 'vehicle.parked', 'pedestrian': 'pedestrian.moving',
@@ -27,6 +31,26 @@ DEFAULT_ATTRIBUTES = {
     'construction_vehicle': 'vehicle.parked', 'bicycle':
     'cycle.without_rider', 'barrier': '', 'traffic_cone': '',
 }
+
+
+def attribute_for(name: str, velocity_xy) -> str:
+    """Velocity-based attribute selection (reference
+    nuscenes_dataset.py:305-323). Speed is rotation-invariant, so the
+    LiDAR-frame velocity magnitude equals the global-frame one the
+    reference thresholds."""
+    speed = float(np.sqrt(velocity_xy[0] ** 2 + velocity_xy[1] ** 2))
+    if speed > 0.2:
+        if name in ('car', 'construction_vehicle', 'bus', 'truck',
+                    'trailer'):
+            return 'vehicle.moving'
+        if name in ('bicycle', 'motorcycle'):
+            return 'cycle.with_rider'
+        return DEFAULT_ATTRIBUTES.get(name, '')
+    if name == 'pedestrian':
+        return 'pedestrian.standing'
+    if name == 'bus':
+        return 'vehicle.stopped'
+    return DEFAULT_ATTRIBUTES.get(name, '')
 
 
 @DATASETS.register('NuScenesDataset')
@@ -144,7 +168,7 @@ class NuScenesDataset(Custom3DDataset):
                     velocity=vel[:2].tolist(),
                     detection_name=name,
                     detection_score=float(score),
-                    attribute_name=DEFAULT_ATTRIBUTES.get(name, '')))
+                    attribute_name=attribute_for(name, vel[:2])))
             nusc_annos[token] = annos
         submission = dict(
             meta=dict(use_lidar=True, use_camera=bool(

@@ -70,28 +70,57 @@ class LyftDataset(NuScenesDataset):
 
 
 class _IndoorDataset(Custom3DDataset):
-    """Shared reader for depth-frame indoor infos (ScanNet/SUNRGBD)."""
+    """Shared reader for depth-frame indoor infos (ScanNet/SUNRGBD).
+
+    Info layout matches the reference converters (scannet_dataset.py:66-106,
+    sunrgbd_dataset.py:69-140): ``pts_path`` point file,
+    ``annos.gt_boxes_upright_depth`` gravity-center depth-frame boxes
+    ([k, 6] axis-aligned for ScanNet, [k, 7] yawed for SUNRGBD),
+    ``annos.class`` labels, optional per-point instance/semantic mask
+    paths. Boxes are converted to this framework's bottom-center
+    (x, y, z, dx, dy, dz, yaw) arrays (the reference wraps them in
+    DepthInstance3DBoxes with origin=(0.5, 0.5, 0.5), i.e. the same shift).
+    """
 
     def get_data_info(self, index):
         info = self.data_infos[index]
         pts_path = info.get('pts_path', info.get('lidar_path', ''))
-        return dict(sample_idx=info.get('point_cloud', {}).get(
-            'lidar_idx', index),
+        results = dict(
+            sample_idx=info.get('point_cloud', {}).get('lidar_idx', index),
             pts_filename=os.path.join(self.data_root, pts_path),
             sweeps=[], timestamp=0)
+        if self.modality.get('use_camera') and 'image' in info:
+            results['img_filename'] = [os.path.join(
+                self.data_root, 'sunrgbd_trainval',
+                info['image'].get('image_path', ''))]
+            if 'calib' in info:
+                results['calib'] = info['calib']
+        return results
 
     def get_ann_info(self, index):
         info = self.data_infos[index]
         annos = info.get('annos', {})
-        boxes = np.asarray(annos.get('gt_boxes_upright_depth',
-                                     np.zeros((0, 7))), np.float32)
-        if boxes.shape[1] == 6:  # axis-aligned: add zero yaw
-            boxes = np.concatenate(
-                [boxes, np.zeros((len(boxes), 1), np.float32)], axis=1)
-        labels = np.asarray(annos.get('class', []), np.int64)
-        if len(labels) != len(boxes):
-            labels = np.zeros((len(boxes),), np.int64)
-        return dict(gt_bboxes_3d=boxes, gt_labels_3d=labels)
+        if annos.get('gt_num', len(annos.get('class', []))) == 0:
+            boxes = np.zeros((0, 7), np.float32)
+            labels = np.zeros((0,), np.int64)
+        else:
+            boxes = np.asarray(annos['gt_boxes_upright_depth'],
+                               np.float32).reshape(
+                                   len(annos['class']), -1)
+            if boxes.shape[1] == 6:  # axis-aligned: add zero yaw
+                boxes = np.concatenate(
+                    [boxes, np.zeros((len(boxes), 1), np.float32)], axis=1)
+            boxes = boxes.copy()
+            boxes[:, 2] -= boxes[:, 5] / 2  # gravity -> bottom center
+            labels = np.asarray(annos['class'], np.int64)
+        ann = dict(gt_bboxes_3d=boxes, gt_labels_3d=labels)
+        if 'pts_instance_mask_path' in info:
+            ann['pts_instance_mask_path'] = os.path.join(
+                self.data_root, info['pts_instance_mask_path'])
+        if 'pts_semantic_mask_path' in info:
+            ann['pts_semantic_mask_path'] = os.path.join(
+                self.data_root, info['pts_semantic_mask_path'])
+        return ann
 
 
 @DATASETS.register('ScanNetDataset')

@@ -1,4 +1,4 @@
-from . import (dbsampler, foreground, loading, test_time_aug,
+from . import (dbsampler, foreground, indoor, loading, test_time_aug,
                transforms_3d)  # noqa: F401
 from .loading import Compose
 

@@ -187,11 +187,16 @@ class PadForeground2D:
         self.point_dim = point_dim
         self.num_cams = num_cams
 
-    def _pad(self, arrays, cap, dim):
+    def _pad(self, arrays, cap, dim, site):
         out = np.zeros((self.num_cams, cap, dim), np.float32)
         mask = np.zeros((self.num_cams, cap), bool)
         for cam, arr in enumerate(arrays[:self.num_cams]):
             n = min(len(arr), cap)
+            if len(arr) > cap:
+                # host-side capacity site: count drops directly
+                from ...utils import overflow
+                if overflow.enabled():
+                    overflow._accumulate(site, len(arr) - cap)
             if n:
                 out[cam, :n, :min(arr.shape[1], dim)] = \
                     arr[:n, :dim].astype(np.float32)
@@ -201,10 +206,11 @@ class PadForeground2D:
     def __call__(self, results):
         fg = results['foreground2D_info']
         pts, mask = self._pad(fg['fg_points'], self.max_points,
-                              self.point_dim)
-        pix, _ = self._pad(fg['fg_pixels'], self.max_points, 3)
+                              self.point_dim, 'foreground.points_cap')
+        pix, _ = self._pad(fg['fg_pixels'], self.max_points, 3,
+                           'foreground.pixels_cap')
         real_pix, real_mask = self._pad(fg['fg_real_pixels'], self.max_real,
-                                        3)
+                                        3, 'foreground.real_pixels_cap')
         results['foreground'] = dict(
             fg_pixels=pix, fg_points=pts, fg_mask=mask,
             fg_real_pixels=real_pix, fg_real_mask=real_mask,

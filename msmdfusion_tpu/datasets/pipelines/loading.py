@@ -30,6 +30,7 @@ class LoadPointsFromFile:
         self.load_dim = load_dim
         self.use_dim = list(use_dim) if not isinstance(use_dim, int) \
             else list(range(use_dim))
+        self.shift_height = shift_height
 
     def _load(self, path):
         if path.endswith('.npy'):
@@ -40,7 +41,14 @@ class LoadPointsFromFile:
 
     def __call__(self, results):
         points = self._load(results['pts_filename'])[:, self.use_dim]
-        results['points'] = points.astype(np.float32)
+        points = points.astype(np.float32)
+        if self.shift_height:
+            # indoor height channel: z minus the 0.99-percentile floor
+            # (reference loading.py:810-814)
+            floor = np.percentile(points[:, 2], 0.99)
+            points = np.concatenate(
+                [points, (points[:, 2] - floor)[:, None]], axis=1)
+        results['points'] = points
         return results
 
 
@@ -98,9 +106,14 @@ class LoadPointsFromMultiSweeps:
 
 @PIPELINES.register('LoadAnnotations3D')
 class LoadAnnotations3D:
-    def __init__(self, with_bbox_3d=True, with_label_3d=True, **kwargs):
+    def __init__(self, with_bbox_3d=True, with_label_3d=True,
+                 with_mask_3d=False, with_seg_3d=False,
+                 seg_3d_dtype=np.int64, **kwargs):
         self.with_bbox_3d = with_bbox_3d
         self.with_label_3d = with_label_3d
+        self.with_mask_3d = with_mask_3d
+        self.with_seg_3d = with_seg_3d
+        self.seg_3d_dtype = seg_3d_dtype
 
     def __call__(self, results):
         ann = results['ann_info']
@@ -108,6 +121,14 @@ class LoadAnnotations3D:
             results['gt_bboxes_3d'] = ann['gt_bboxes_3d'].astype(np.float32)
         if self.with_label_3d:
             results['gt_labels_3d'] = ann['gt_labels_3d'].astype(np.int64)
+        if self.with_mask_3d:
+            # per-point instance ids (reference loading.py:916-939)
+            path = ann['pts_instance_mask_path']
+            results['pts_instance_mask'] = np.fromfile(path, dtype=np.int64)
+        if self.with_seg_3d:
+            path = ann['pts_semantic_mask_path']
+            results['pts_semantic_mask'] = np.fromfile(
+                path, dtype=self.seg_3d_dtype).astype(np.int64)
         return results
 
 
@@ -251,6 +272,10 @@ class PadPoints:
         n = points.shape[0]
         cap = self.max_points
         if n >= cap:
+            if n > cap:
+                from ...utils import overflow
+                if overflow.enabled():
+                    overflow._accumulate('pipeline.points_cap', n - cap)
             results['points'] = points[:cap]
             results['points_mask'] = np.ones(cap, bool)
         else:

@@ -33,6 +33,7 @@ class GlobalRotScaleTrans:
         self.rot_range = rot_range
         self.scale_ratio_range = scale_ratio_range
         self.translation_std = translation_std
+        self.shift_height = shift_height
 
     def __call__(self, results):
         angle = np.random.uniform(*self.rot_range)
@@ -42,6 +43,10 @@ class GlobalRotScaleTrans:
 
         points = results['points']
         points[:, :3] = _rot_z(points[:, :3], angle) * scale + trans
+        if self.shift_height and points.shape[1] > 3:
+            # the indoor height channel is a z-offset: scales, no rot/trans
+            # (reference points.scale() on the tracked height attribute)
+            points[:, 3] *= scale
         results['points'] = points
 
         if 'gt_bboxes_3d' in results and len(results['gt_bboxes_3d']):

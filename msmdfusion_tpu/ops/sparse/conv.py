@@ -338,6 +338,10 @@ def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
     # rank-cumsum + fixed-slot scatter: TPU scatters retire ~1 element per
     # cycle (~6-7ms at 1M candidates, the top XLA fusion in the full-scale
     # flagship trace) while an i32 sort of the same width is ~2ms
+    # framework-only cap (spconv output coords are dynamically sized)
+    from ...utils import overflow
+    overflow.record('sparse.downsample.out_cap',
+                    jnp.maximum(jnp.sum(head) - capacity, 0))
     out_keys = jax.lax.sort(jnp.where(head, skey, INT_MAX),
                             is_stable=False)[:capacity]
     out_valid = out_keys != INT_MAX

@@ -322,6 +322,23 @@ def build_inverse_plan(st: SparseTensor, orig_coords, orig_valid,
     return build_plan(st.keys, queries.astype(jnp.int32), inb, 1, tile)
 
 
+def _record_slab_overflow(plan: MatchPlan, slab: int, site: str) -> None:
+    """Count input rows beyond the slab bracket (framework-only cap: the
+    reference rulebook is dynamically sized). Dropped rows never reach the
+    match/gather, so matches there are silently lost — observability via
+    utils.overflow (MSMD_OVERFLOW_CHECK=1)."""
+    from ...utils import overflow
+    if not overflow.enabled():
+        return
+    ta = plan.num_taps
+    g0 = jnp.arange(0, ta, plan.kx)
+    lo = plan.starts[g0, :-1]                       # [G, n_tiles]
+    hi = plan.starts[g0 + plan.kx - 1, 1:]
+    live = plan.queries[::plan.tile, 0] != INT_MAX  # [n_tiles]
+    over = jnp.maximum(hi - lo - slab, 0)
+    overflow.record(site, jnp.sum(jnp.where(live[None, :], over, 0)))
+
+
 def plan_slab_spans(plan: MatchPlan) -> jax.Array:
     """Max slab span per tap-group (capacity planning / overflow checks).
 
@@ -518,6 +535,7 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
                  cw: Optional[int] = None,
                  interpret: bool = False) -> jax.Array:
     """[K_out_pad, Cout] via the match-matmul kernel."""
+    _record_slab_overflow(plan, slab, 'matchconv.slab')
     k_in, cin = feats.shape
     ta, _, cout = weights.shape
     tile = plan.tile
@@ -742,6 +760,7 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
                 interpret: bool = False) -> MatchPlan:
     """Precompute the rulebook for the VMEM-gather backend (once per
     indice_key; shared by every conv on the coordinate set)."""
+    _record_slab_overflow(plan, slab, 'matchconv.rows_slab')
     rows = plan_rows(in_keys, plan, slab=slab, cw=cw,
                      interpret=interpret)                 # [K_out_pad, Ta]
     n_tiles, tile, ta, kx = plan.n_tiles, plan.tile, plan.num_taps, plan.kx

@@ -192,7 +192,11 @@ def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
     n = skey.shape[0]
     head = jnp.concatenate([svalid[:1], (skey[1:] != skey[:-1]) & svalid[1:]])
     from .conv import _blocked_cumsum_i32
+    from ...utils import overflow
     group = _blocked_cumsum_i32(head.astype(jnp.int32)) - 1
+    # framework-only cap: spconv's sparse_add output is dynamically sized
+    overflow.record('sparse.sparse_add.union_cap',
+                    jnp.maximum(jnp.sum(head) - capacity, 0))
     group = jnp.where(svalid, group, capacity)  # park invalid out of range
     group = jnp.minimum(group, capacity)
     out_feats = jax.ops.segment_sum(

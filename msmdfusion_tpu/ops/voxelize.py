@@ -20,6 +20,8 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils import overflow
+
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -107,6 +109,14 @@ def hard_voxelize(points, point_mask, voxel_size, point_cloud_range,
     # the stable sort)
     rank_in_voxel = pos - start_pos[group_id]
     keep = sorted_valid & in_cap_voxel & (rank_in_voxel < max_points)
+    # both caps exist with identical semantics in the reference
+    # (voxelization_cuda.cu max_voxels / max_points), so these drops match
+    # reference behavior — counted for observability, not asserted zero
+    overflow.record('voxelize.hard.point_truncation',
+                    jnp.sum(sorted_valid & in_cap_voxel
+                            & (rank_in_voxel >= max_points)))
+    overflow.record('voxelize.hard.voxel_cap',
+                    jnp.sum(head & ~in_cap_voxel))
 
     f = points.shape[1]
     flat_idx = slot * max_points + rank_in_voxel
@@ -169,6 +179,9 @@ def dynamic_scatter(feats, coords_zyx, valid, grid_zyx: Tuple[int, int, int],
     group_rank = jnp.argsort(jnp.argsort(first_orig))
     slot = group_rank[group_id]
     keep = sorted_valid & (slot < max_voxels)
+    # framework capacity (reference DynamicScatter has no voxel cap)
+    overflow.record('voxelize.dynamic_scatter.voxel_cap',
+                    jnp.sum(head) - jnp.minimum(jnp.sum(head), max_voxels))
     seg = jnp.where(keep, slot, max_voxels)
 
     sorted_feats = feats[order]
@@ -247,6 +260,10 @@ def voxelize_mean_batch(points, point_mask, voxel_size, point_cloud_range,
         [sorted_valid[:1], (skey[1:] != skey[:-1]) & sorted_valid[1:]])
     slot = jnp.cumsum(head.astype(jnp.int32)) - 1
     v = max_voxels_total
+    # framework-global cap (reference caps per sample); overflow here drops
+    # whole voxels the reference would have kept
+    overflow.record('voxelize.mean_batch.voxel_cap',
+                    jnp.maximum(jnp.sum(head) - v, 0))
     seg = jnp.where(sorted_valid & (slot < v), slot, v)
 
     sorted_feats = flat[order]

@@ -272,6 +272,14 @@ def msmdfusion_rules(num_stages: int = 4) -> ConverterRules:
     ``grouped_sp_conv_blocks_mix`` parameters are created but never used in
     its forward (grouped_sparse_conv:411-417 applies only the 3D block), so
     they are intentionally unmapped (reported as unused, not an error).
+
+    View-order contract: any per-view weights (the LC head's
+    ``decoder[2+idx_view]`` -> ``img_bev_decoder_{v}``) and per-camera MDU
+    foreground artifacts are indexed by the reference camera order
+    [FRONT_LEFT, FRONT, FRONT_RIGHT, BACK_RIGHT, BACK, BACK_LEFT]
+    (reference nuscenes_dataset.py:203). ``datasets.nuscenes.CAM_ORDER``
+    matches it exactly, so converted checkpoints keep view ``v`` aligned
+    with the camera the reference trained it on.
     """
     r = ConverterRules()
     _pts_trunk_rules(r, backbone_f='backbone_pts', neck_f='neck_pts')

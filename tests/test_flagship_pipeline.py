@@ -130,8 +130,7 @@ log_config = dict(interval=1)
 freeze_lidar_components = False
 '''
 
-CAM_ORDER = ('CAM_FRONT', 'CAM_FRONT_RIGHT', 'CAM_FRONT_LEFT', 'CAM_BACK',
-             'CAM_BACK_LEFT', 'CAM_BACK_RIGHT')
+from msmdfusion_tpu.datasets.nuscenes import CAM_ORDER
 
 
 def _write_fg_artifact(path, rng, n_virtual=20, n_real=10):

@@ -56,3 +56,49 @@ def test_score_ranking_matters():
     ap_good = accumulate_class(pred_good, gt, 0, 2.0)['ap']
     ap_bad = accumulate_class(pred_bad, gt, 0, 2.0)['ap']
     assert ap_good > ap_bad
+
+
+def test_velocity_based_attributes():
+    """Attribute selection replicates reference nuscenes_dataset.py:305-323:
+    speed > 0.2 m/s -> moving/with_rider, slow pedestrian -> standing,
+    slow bus -> stopped, else the per-class default."""
+    from msmdfusion_tpu.datasets.nuscenes import attribute_for
+
+    fast, slow = (3.0, 4.0), (0.1, 0.1)
+    for name in ('car', 'construction_vehicle', 'bus', 'truck', 'trailer'):
+        assert attribute_for(name, fast) == 'vehicle.moving'
+    for name in ('bicycle', 'motorcycle'):
+        assert attribute_for(name, fast) == 'cycle.with_rider'
+    assert attribute_for('pedestrian', fast) == 'pedestrian.moving'
+    assert attribute_for('pedestrian', slow) == 'pedestrian.standing'
+    assert attribute_for('bus', slow) == 'vehicle.stopped'
+    assert attribute_for('car', slow) == 'vehicle.parked'
+    assert attribute_for('motorcycle', slow) == 'cycle.without_rider'
+    assert attribute_for('barrier', fast) == ''
+    assert attribute_for('traffic_cone', slow) == ''
+    # exactly at the threshold counts as static (strict >)
+    assert attribute_for('car', (0.2, 0.0)) == 'vehicle.parked'
+
+
+def test_submission_attributes_follow_velocity(tmp_path):
+    """format_results emits velocity-selected attribute names."""
+    import json
+    from msmdfusion_tpu.datasets.nuscenes import NuScenesDataset
+
+    infos = [dict(token='tok0', lidar_path='x.bin', gt_boxes=np.zeros((0, 7)),
+                  gt_names=[], timestamp=0)]
+    import pickle
+    pkl = tmp_path / 'infos.pkl'
+    with open(pkl, 'wb') as f:
+        pickle.dump(dict(infos=infos, metadata=dict(version='v1.0-mini')), f)
+    ds = NuScenesDataset(data_root=str(tmp_path), ann_file=str(pkl),
+                         pipeline=[], test_mode=True)
+    det = dict(
+        bboxes=np.array([[0, 0, 0, 2, 4, 1.5, 0, 5.0, 0.0],
+                         [1, 1, 0, 2, 4, 1.5, 0, 0.0, 0.0]], np.float32),
+        scores=np.array([0.9, 0.8], np.float32),
+        labels=np.array([0, 8], np.int64))  # fast car, slow pedestrian
+    out = ds.format_results([det], jsonfile_prefix=str(tmp_path / 'res'))
+    sub = json.load(open(out))
+    attrs = [a['attribute_name'] for a in sub['results']['tok0']]
+    assert attrs == ['vehicle.moving', 'pedestrian.standing']
