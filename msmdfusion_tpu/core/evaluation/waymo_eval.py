@@ -189,4 +189,8 @@ def waymo_eval(gts: Sequence[Dict], dts: Sequence[Dict],
     lines.append(f'{"mean":<22}' + ''.join(
         f'{metrics[f"Waymo/L{lv}/m{k}"]:9.2f}'
         for lv in (1, 2) for k in ('AP', 'APH')))
+    # this is a native re-derivation of the published metric definition,
+    # NOT the official waymo-open-dataset binary — label the output so no
+    # downstream consumer mistakes it for official numbers
+    metrics['protocol'] = 'native-proxy'
     return '\n'.join(lines), metrics

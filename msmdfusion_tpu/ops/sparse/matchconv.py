@@ -88,6 +88,21 @@ def use_vgather() -> bool:
     return os.environ.get('MSMD_CONV_ALGO', 'vgather') == 'vgather'
 
 
+def conv_dtype() -> str:
+    """Feature dtype inside the VMEM-gather conv kernel.
+
+    'float32' (default): exact fp32 gather + HIGHEST/x3 GEMM (~1e-7 vs the
+    fp64 oracle). 'bfloat16': channel PAIRS are packed into one f32 lane,
+    halving both the slab DMA bytes and the butterfly gather instruction
+    count (the kernel is gather/select instruction bound); the unpacked
+    bf16 feeds a single-pass MXU GEMM (~2^-8 relative — the same effective
+    accuracy as the reference's default-precision einsum path, see PLAN.md
+    round-2 precision finding). Opt-in via MSMD_CONV_DTYPE=bfloat16;
+    bench.py uses it for the inference benchmark.
+    """
+    return os.environ.get('MSMD_CONV_DTYPE', 'float32')
+
+
 def gemm_mode() -> str:
     """Weight-GEMM precision inside the conv kernels.
 
@@ -667,11 +682,21 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
 
 def _vgather_kernel(starts_ref, live_ref, rT_ref, feats_hbm, w_ref, o_ref,
                     fslab, sem_f, *, taps: int, kx: int, cin: int, cout: int,
-                    slab: int, tile: int, cw: int, gemm: str = 'highest'):
-    """One output tile: bracket slab DMAs, butterfly row gather, GEMM."""
+                    slab: int, tile: int, cw: int, gemm: str = 'highest',
+                    packed: bool = False):
+    """One output tile: bracket slab DMAs, butterfly row gather, GEMM.
+
+    packed=True: the slab holds bf16 channel PAIRS bitcast into f32 lanes
+    ([cin//2, slab] f32); the gather runs on the packed f32 (half the
+    instructions), then one pltpu.bitcast unpacks to [cin, 128] bf16 with
+    channels interleaved (2c, 2c+1) — verified even-interleave semantics.
+    Weights arrive pre-interleaved to match, so the GEMM is oblivious.
+    """
     i = pl.program_id(0)
     groups = taps // kx
-    rep = cin // 8
+    crows = cin // 2 if packed else cin   # slab/gather channel rows
+    rep = crows // 8
+    gdtype = jnp.bfloat16 if packed else jnp.float32
 
     @pl.when(live_ref[i] == 0)
     def _zero_tile():
@@ -703,31 +728,41 @@ def _vgather_kernel(starts_ref, live_ref, rT_ref, feats_hbm, w_ref, o_ref,
             rel8 = rT_ref[:, g * span:(g + 1) * span] - r0a
 
             def gchunk(cc, g_acc, _rel8=rel8, _slot=slot):
-                f = fslab[_slot, :, pl.ds(cc * cw, cw)]     # [cin, cw]
+                f = fslab[_slot, :, pl.ds(cc * cw, cw)]     # [crows, cw]
                 cols = []
                 for lc in range(span // 128):
                     rel_sl = pltpu.repeat(
                         _rel8[:, lc * 128:(lc + 1) * 128], rep, axis=0)
-                    local = rel_sl - cc * cw                # [cin, 128]
+                    local = rel_sl - cc * cw                # [crows, 128]
                     lane = local & 127
                     vreg = local >> 7                       # miss -> negative
-                    colc = jnp.zeros((cin, 128), jnp.float32)
+                    colc = jnp.zeros((crows, 128), jnp.float32)
                     for v in range(cw // 128):
                         piece = f[:, v * 128:(v + 1) * 128]
                         gg = jnp.take_along_axis(piece, lane, axis=1)
                         colc = jnp.where(vreg == v, gg, colc)
+                    if packed:
+                        # unpack the gathered bf16 pairs: [crows, 128] f32
+                        # -> [cin, 128] bf16 (even-interleave)
+                        colc = pltpu.bitcast(colc, jnp.bfloat16)
                     cols.append(colc)
                 return g_acc + jnp.concatenate(cols, axis=1)
 
             g_here = jax.lax.fori_loop(
-                0, nch, gchunk, jnp.zeros((cin, span), jnp.float32))
+                0, nch, gchunk, jnp.zeros((cin, span), gdtype))
             # [cin, kx*tile] -> [kx*cin, tile] sublane stack, one GEMM/group
             g_stack = jnp.concatenate(
                 [g_here[:, j * tile:(j + 1) * tile] for j in range(kx)],
                 axis=0)
             wg = w_ref[g * kx * cin:(g + 1) * kx * cin, :]
             dims = (((0,), (0,)), ((), ()))
-            if gemm == 'x3':
+            if packed:
+                # bf16 features: one MXU pass (feature quantization already
+                # dominates; weights are bf16 too)
+                acc = acc + jax.lax.dot_general(
+                    g_stack, wg[:].astype(jnp.bfloat16), dims,
+                    preferred_element_type=jnp.float32)
+            elif gemm == 'x3':
                 # bf16 hi/lo of BOTH operands, drop lo.lo: 3 MXU passes at
                 # ~2^-17 relative error vs 6 for HIGHEST (in-kernel splits
                 # are not folded away by Mosaic, unlike XLA's
@@ -775,12 +810,13 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
 
 
 def _vgather_vmem_bytes(cin_pad: int, cout: int, ta: int, tile: int,
-                        kx: int, slab: int) -> int:
-    return (2 * cin_pad * slab * 4            # feature slabs (x2 slots)
+                        kx: int, slab: int, packed: bool = False) -> int:
+    fb = 2 if packed else 4                   # bf16 pairs pack 2B/channel
+    return (2 * cin_pad * slab * fb           # feature slabs (x2 slots)
             + 2 * 8 * ta * tile * 4           # rows block (pipelined x2)
             + ta * cin_pad * cout * 4         # weights
-            + cin_pad * kx * tile * 4 * 2     # g_here + gchunk temporaries
-            + kx * cin_pad * tile * 4 * 3     # g_stack + HIGHEST hi/lo
+            + cin_pad * kx * tile * fb * 2    # g_here + gchunk temporaries
+            + kx * cin_pad * tile * fb * 3    # g_stack + GEMM operand copies
             + tile * cout * 4 * 2)            # acc + out
 
 
@@ -793,12 +829,13 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
     tile = plan.tile
     n_tiles = plan.n_tiles
     cw = min(cw or DEFAULT_CW, slab)
-    cin_pad = _round_up(cin, 8)
+    packed = conv_dtype() == 'bfloat16'
+    cin_pad = _round_up(cin, 16 if packed else 8)
     if (tile % 128) or (cw % 128):
         return None
     for try_slab in (slab, 1024):
         if _vgather_vmem_bytes(cin_pad, cout, ta, tile, plan.kx,
-                               try_slab) <= 12 * 1024 * 1024:
+                               try_slab, packed) <= 12 * 1024 * 1024:
             slab = try_slab
             break
     else:
@@ -806,28 +843,42 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
     cw = min(cw, slab)
 
     k_pad = _round_up(k_in + slab, 128)
-    feats_t = jnp.zeros((cin_pad, k_pad), jnp.float32)
-    feats_t = feats_t.at[:cin, :k_in].set(feats.astype(jnp.float32).T)
+    if packed:
+        # bf16 channel pairs packed into f32 lanes: channel 2c in the low
+        # 16 bits, 2c+1 in the high — the in-kernel pltpu.bitcast unpacks
+        # back to natural channel order (verified by probe)
+        fb = jnp.zeros((cin_pad, k_pad), jnp.bfloat16)
+        fb = fb.at[:cin, :k_in].set(feats.astype(jnp.bfloat16).T)
+        u16 = jax.lax.bitcast_convert_type(
+            fb.reshape(cin_pad // 2, 2, k_pad), jnp.uint16
+        ).astype(jnp.uint32)
+        packed_u32 = u16[:, 0, :] | (u16[:, 1, :] << 16)
+        feats_t = jax.lax.bitcast_convert_type(packed_u32, jnp.float32)
+        slab_rows = cin_pad // 2
+    else:
+        feats_t = jnp.zeros((cin_pad, k_pad), jnp.float32)
+        feats_t = feats_t.at[:cin, :k_in].set(feats.astype(jnp.float32).T)
+        slab_rows = cin_pad
     w32 = jnp.zeros((ta, cin_pad, cout), jnp.float32).at[:, :cin, :].set(
         weights.astype(jnp.float32))
     w_arg = w32.reshape(ta * cin_pad, cout)
 
     kernel = functools.partial(
         _vgather_kernel, taps=ta, kx=plan.kx, cin=cin_pad, cout=cout,
-        slab=slab, tile=tile, cw=cw, gemm=gemm_mode())
+        slab=slab, tile=tile, cw=cw, gemm=gemm_mode(), packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, ta * tile), lambda i, s1, s2: (i, 0),
                          memory_space=pltpu.VMEM),        # rows_stack
-            pl.BlockSpec(memory_space=pltpu.HBM),         # featsT (f32)
+            pl.BlockSpec(memory_space=pltpu.HBM),         # featsT
             pl.BlockSpec(memory_space=pltpu.VMEM),        # weights
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda i, s1, s2: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, cin_pad, slab), jnp.float32),  # feat slabs (x2)
+            pltpu.VMEM((2, slab_rows, slab), jnp.float32),  # feat slabs
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -186,11 +186,15 @@ def dynamic_scatter(feats, coords_zyx, valid, grid_zyx: Tuple[int, int, int],
 
     sorted_feats = feats[order]
     if mode == 'mean':
-        sums = jax.ops.segment_sum(
-            jnp.where(keep[:, None], sorted_feats, 0), seg,
-            num_segments=max_voxels + 1)[:max_voxels]
-        counts = jax.ops.segment_sum(
-            keep.astype(feats.dtype), seg, num_segments=max_voxels + 1)[:max_voxels]
+        # counts ride the sums' scatter (scatter cost is per ROW)
+        f = feats.shape[1]
+        aug = jnp.concatenate(
+            [jnp.where(keep[:, None], sorted_feats, 0),
+             keep.astype(feats.dtype)[:, None]], axis=1)
+        sums_counts = jax.ops.segment_sum(
+            aug, seg, num_segments=max_voxels + 1)[:max_voxels]
+        sums = sums_counts[:, :f]
+        counts = sums_counts[:, f]
         voxel_feats = sums / jnp.maximum(counts[:, None], 1)
         voxel_valid = counts > 0
     elif mode == 'max':
@@ -268,13 +272,18 @@ def voxelize_mean_batch(points, point_mask, voxel_size, point_cloud_range,
 
     sorted_feats = flat[order]
     # seg is non-decreasing (cumsum slots, INT_MAX/overflow parked at the
-    # terminal v) -> sorted-segment fast paths
-    sums = jax.ops.segment_sum(
-        jnp.where((seg < v)[:, None], sorted_feats, 0), seg,
-        num_segments=v + 1, indices_are_sorted=True)[:v]
-    counts = jax.ops.segment_sum((seg < v).astype(jnp.float32), seg,
-                                 num_segments=v + 1,
-                                 indices_are_sorted=True)[:v]
+    # terminal v) -> sorted-segment fast paths. TPU scatter-adds retire at
+    # a fixed ROW rate (~10 ns/row regardless of width), so the count
+    # column rides the same scatter as the feature sums instead of paying
+    # a second full row pass.
+    keep_col = (seg < v).astype(flat.dtype)
+    aug = jnp.concatenate(
+        [jnp.where((seg < v)[:, None], sorted_feats, 0),
+         keep_col[:, None]], axis=1)
+    sums_counts = jax.ops.segment_sum(
+        aug, seg, num_segments=v + 1, indices_are_sorted=True)[:v]
+    sums = sums_counts[:, :f]
+    counts = sums_counts[:, f]
     feats = sums / jnp.maximum(counts[:, None], 1)
     voxel_valid = counts > 0
 

@@ -68,5 +68,12 @@ class EvalHook:
                 break
             results.extend(infer_fn(batch))
         metrics = self.dataset.evaluate(results)
-        return {k: float(v) for k, v in metrics.items()
-                if hasattr(v, '__float__') or isinstance(v, (int, float))}
+        out = {k: float(v) for k, v in metrics.items()
+               if hasattr(v, '__float__') or isinstance(v, (int, float))}
+        # surface capacity-overflow counters in the eval record
+        # (MSMD_OVERFLOW_CHECK=1; utils/overflow.py)
+        from . import overflow
+        if overflow.enabled():
+            for site, count in overflow.counters().items():
+                out[f'overflow/{site}'] = float(count)
+        return out

@@ -201,3 +201,50 @@ def test_vgather_matches_oracle_precisely(rng, monkeypatch):
             ko = plan.k_out
             rel = np.abs(out[:ko] - ref[:ko]).max() / np.abs(ref).max()
             assert rel < tol, f'gemm={gemm} C={c}: rel err {rel}'
+
+
+def test_vgather_packed_bf16_interpret(rng, monkeypatch):
+    """MSMD_CONV_DTYPE=bfloat16: channel pairs pack into f32 lanes (half
+    the gather instructions + slab DMA); accuracy is bf16-level (~2^-8),
+    the same effective precision as the reference's default einsum path
+    (PLAN.md round-2 finding). Interpret mode verifies the pack/bitcast
+    layout contract off-TPU."""
+    monkeypatch.setenv('MSMD_CONV_DTYPE', 'bfloat16')
+    st = make_st(rng, 512, 400, (9, 24, 24), 16)
+    plan = mc.attach_rows(st.keys, mc.build_subm_plan(st, 3, tile=128),
+                          interpret=True)
+    w = jnp.asarray((rng.randn(27, 16, 16) * 0.1).astype(np.float32))
+    out = mc._vgather_conv(st.features, plan, w, interpret=True)
+    assert out is not None
+    ref = mc._fallback_conv(st.features, st.keys, plan, w)
+    o, r = np.asarray(out)[:512], np.asarray(ref)[:512]
+    rel = np.abs(o - r).max() / (np.abs(r).max() + 1e-9)
+    assert rel < 2e-2, rel
+    # odd channel count exercises the pad-to-16 path
+    st5 = make_st(rng, 256, 200, (5, 16, 16), 10)
+    plan5 = mc.attach_rows(st5.keys, mc.build_subm_plan(st5, 3, tile=128),
+                           interpret=True)
+    w5 = jnp.asarray((rng.randn(27, 10, 8) * 0.1).astype(np.float32))
+    out5 = mc._vgather_conv(st5.features, plan5, w5, interpret=True)
+    ref5 = mc._fallback_conv(st5.features, st5.keys, plan5, w5)
+    rel5 = (np.abs(np.asarray(out5)[:256] - np.asarray(ref5)[:256]).max()
+            / (np.abs(np.asarray(ref5)).max() + 1e-9))
+    assert rel5 < 2e-2, rel5
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='Pallas kernel requires TPU')
+def test_vgather_packed_bf16_on_tpu(rng, monkeypatch):
+    """Packed bf16 kernel vs the fp64 oracle on the real chip."""
+    monkeypatch.setenv('MSMD_CONV_DTYPE', 'bfloat16')
+    for c, cout in [(16, 16), (80, 96)]:
+        st = make_st(rng, 4096, 3200, (21, 180, 180), c)
+        plan = mc.attach_rows(st.keys, mc.build_subm_plan(st, 3))
+        w = (rng.randn(27, c, cout) * 0.1).astype(np.float32)
+        out = mc._vgather_conv(st.features, plan, jnp.asarray(w))
+        assert out is not None
+        out = np.asarray(out)
+        ref = oracle_conv(st, plan, w)
+        ko = plan.k_out
+        rel = np.abs(out[:ko] - ref[:ko]).max() / np.abs(ref).max()
+        assert rel < 2e-2, f'packed C={c}: rel err {rel}'

@@ -120,3 +120,16 @@ def test_multiclass_means():
     _, m = waymo_eval(gts, dts, ['Car', 'Pedestrian'])
     assert np.isclose(m['Waymo/L1/mAP'], 50.0, atol=0.5)
     assert 'Waymo/L2/mAPH' in m
+
+
+def test_protocol_labeled_native_proxy():
+    """The native evaluator labels its output as a proxy (it is a
+    re-derivation, not the official WOD binary)."""
+    from msmdfusion_tpu.core.evaluation.waymo_eval import waymo_eval
+    gt = [dict(boxes=np.array([[0, 0, 0, 2, 4, 1.5, 0]], np.float64),
+               labels=np.array([0]), num_points=np.array([10]))]
+    dt = [dict(boxes=np.array([[0, 0, 0, 2, 4, 1.5, 0]], np.float64),
+               labels=np.array([0]), scores=np.array([0.9]))]
+    report, metrics = waymo_eval(gt, dt, ['Car'])
+    assert metrics['protocol'] == 'native-proxy'
+    assert 'native' in report
