@@ -184,5 +184,8 @@ lr_config = dict(policy='step', warmup='linear', warmup_iters=1000,
                  warmup_ratio=1.0 / 1000, step=[4, 5])
 total_epochs = 6
 checkpoint_config = dict(interval=1)
-log_config = dict(interval=50)
+log_config = dict(interval=50, hooks=[
+    dict(type='TextLoggerHook'),
+    dict(type='TensorboardLoggerHook'),
+])  # reference configs/MSMDFusion_nusc_voxel_LC.py:296-299
 freeze_lidar_components = True

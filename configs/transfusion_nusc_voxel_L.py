@@ -120,4 +120,7 @@ lr_config = dict(policy='cyclic', target_ratio=(10, 0.0001), cyclic_times=1,
                  step_ratio_up=0.4)
 total_epochs = 20
 checkpoint_config = dict(interval=1)
-log_config = dict(interval=50)
+log_config = dict(interval=50, hooks=[
+    dict(type='TextLoggerHook'),
+    dict(type='TensorboardLoggerHook'),
+])  # reference configs/MSMDFusion_nusc_voxel_LC.py:296-299

@@ -218,30 +218,31 @@ class ObjectSample:
 
 @PIPELINES.register('ObjectNoise')
 class ObjectNoise:
-    """Per-object jitter (simplified reference ObjectNoise: per-box global
-    noise without the numba collision tests)."""
+    """Collision-gated per-object jitter (reference ObjectNoise,
+    transforms_3d.py + noise_per_object_v3_ in data_augment_utils.py:328):
+    each box tries up to ``num_try`` (translation, rotation) noises and
+    keeps the first one whose jittered footprint collides with no other
+    current box footprint; points inside the box move with it."""
 
     def __init__(self, translation_std=(0.25, 0.25, 0.25),
                  global_rot_range=(0.0, 0.0), rot_range=(-0.15707, 0.15707),
                  num_try=100):
         self.translation_std = translation_std
+        self.global_rot_range = global_rot_range
         self.rot_range = rot_range
+        self.num_try = num_try
 
     def __call__(self, results):
         boxes = results.get('gt_bboxes_3d')
         if boxes is None or not len(boxes):
             return results
+        from .aug_utils import noise_per_object_v3
         pts = results['points']
-        from ...core.box_np_ops import points_in_rbbox_np
-        inside = points_in_rbbox_np(pts[:, :3], boxes)
-        for i in range(len(boxes)):
-            trans = np.random.normal(scale=self.translation_std, size=3)
-            rot = np.random.uniform(*self.rot_range)
-            mask = inside[:, i]
-            local = pts[mask, :3] - boxes[i, :3]
-            pts[mask, :3] = _rot_z(local, rot) + boxes[i, :3] + trans
-            boxes[i, :3] += trans
-            boxes[i, 6] += rot
+        noise_per_object_v3(
+            boxes, pts, rotation_perturb=list(self.rot_range),
+            center_noise_std=list(self.translation_std),
+            global_random_rot_range=list(self.global_rot_range),
+            num_try=self.num_try)
         results['points'] = pts
         results['gt_bboxes_3d'] = boxes
         return results

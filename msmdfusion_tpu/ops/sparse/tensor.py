@@ -183,38 +183,38 @@ def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
     assert a.num_channels == b.num_channels
     keys = jnp.concatenate([a.keys, b.keys])
     feats = jnp.concatenate([a.features, b.features], axis=0)
-    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    n = keys.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
     # sorted keys + permutation in one sort; validity is key != INT_MAX
     # (saves two narrow per-row gathers — see make_sparse_tensor)
     skey, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
-    sfeat = feats[order]
     svalid = skey != INT_MAX
-    n = skey.shape[0]
     head = jnp.concatenate([svalid[:1], (skey[1:] != skey[:-1]) & svalid[1:]])
-    from .conv import _blocked_cumsum_i32
     from ...utils import overflow
-    group = _blocked_cumsum_i32(head.astype(jnp.int32)) - 1
     # framework-only cap: spconv's sparse_add output is dynamically sized
     overflow.record('sparse.sparse_add.union_cap',
                     jnp.maximum(jnp.sum(head) - capacity, 0))
-    group = jnp.where(svalid, group, capacity)  # park invalid out of range
-    group = jnp.minimum(group, capacity)
-    out_feats = jax.ops.segment_sum(
-        jnp.where(svalid[:, None], sfeat, 0), group,
-        num_segments=capacity + 1,
-        indices_are_sorted=True)[:capacity]
-    out_keys = jnp.full((capacity + 1,), INT_MAX, jnp.int32)
-    # duplicates of a group write the identical key and invalid rows park
-    # at the discarded capacity slot -> indices stay sorted (fast scatter)
-    out_keys = out_keys.at[jnp.where(svalid, group, capacity)].set(
-        jnp.where(svalid, skey, INT_MAX), mode='drop',
-        indices_are_sorted=True)
-    out_keys = out_keys[:capacity]
-    out_valid = out_keys != INT_MAX
+    # gather-form union: each input's valid keys are unique (sorted-key
+    # invariant), so every output group is 1 or 2 adjacent sorted rows.
+    # Compact the group-start positions with one i32 sort, then GATHER the
+    # (up to two) member rows per output slot. This replaces the previous
+    # segment-sum scatter-add + key scatter (~16 ms/iter across the GMA
+    # stages: TPU scatters retire ~1 row/cycle; row gathers are ~5x faster)
+    head_pos = jnp.where(head, iota, INT_MAX)
+    head_pos = jax.lax.sort(head_pos, is_stable=False)[:capacity]
+    out_valid = head_pos < n
+    hp = jnp.minimum(head_pos, n - 1)
+    out_keys = jnp.where(out_valid, skey[hp], INT_MAX)
+    nxt = jnp.minimum(hp + 1, n - 1)
+    dup = (nxt > hp) & (skey[nxt] == skey[hp]) & out_valid
+    row0 = jnp.take(feats, order[hp], axis=0)
+    row1 = jnp.take(feats, order[nxt], axis=0)
+    out_feats = jnp.where(out_valid[:, None],
+                          row0 + jnp.where(dup[:, None], row1, 0), 0)
     coords = unpack_keys(out_keys, a.spatial_shape)
     coords = jnp.where(out_valid[:, None], coords, -1)
     return SparseTensor(
-        features=jnp.where(out_valid[:, None], out_feats, 0), coords=coords,
+        features=out_feats, coords=coords,
         valid=out_valid, keys=out_keys, spatial_shape=a.spatial_shape,
         batch_size=max(a.batch_size, b.batch_size))
 

@@ -143,7 +143,22 @@ def main():
     # per-epoch EvalHook (reference `evaluation = dict(interval=1)`)
     from msmdfusion_tpu.apis.inference import make_batch_infer
     from msmdfusion_tpu.utils.log_hooks import EvalHook, JsonLogWriter
-    json_log = JsonLogWriter(work_dir)
+    writers = [JsonLogWriter(work_dir)]
+    # reference log_config.hooks includes TensorboardLoggerHook
+    # (configs/MSMDFusion_nusc_voxel_LC.py:296-299); emit real TB event
+    # files when configured (utils/tb_writer.py, dependency-free)
+    for hook in cfg.get('log_config', {}).get('hooks', []):
+        if dict(hook).get('type') == 'TensorboardLoggerHook':
+            from msmdfusion_tpu.utils.tb_writer import TensorboardEventWriter
+            writers.append(TensorboardEventWriter(
+                os.path.join(work_dir, 'tf_logs')))
+
+    class _FanOut:
+        def write(self, *a, **kw):
+            for w in writers:
+                w.write(*a, **kw)
+
+    json_log = _FanOut()
     eval_hook = None
     eval_cfg = dict(cfg.get('evaluation', {}))
     if not args.no_validate and eval_cfg and 'val' in cfg.data:
