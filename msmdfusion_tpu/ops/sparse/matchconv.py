@@ -186,10 +186,18 @@ def build_plan(in_keys: jax.Array, query_keys: jax.Array, inb: jax.Array,
     q_order = jnp.argsort(q_flat, stable=True)
     q_sorted = q_flat[q_order]
     cat = jnp.concatenate([q_sorted, in_keys])
-    order = jnp.argsort(cat, stable=True)
-    inv = jnp.zeros((cat.shape[0],), jnp.int32).at[order].set(
-        jnp.arange(cat.shape[0], dtype=jnp.int32))
-    rank = inv[:nq] - jnp.arange(nq, dtype=jnp.int32)
+    iota = jnp.arange(cat.shape[0], dtype=jnp.int32)
+    _, order = jax.lax.sort((cat, iota), num_keys=1, is_stable=True)
+    # sorted positions of the nq queries, in q_sorted order (stable sort
+    # keeps equal-key queries ahead of keys and in relative order). The
+    # i-th query has exactly i queries before it, so rank-among-keys =
+    # position - i. Compacting the positions with one single-operand i32
+    # sort replaces the previous full-width inverse-permutation scatter
+    # (~1.2 ms/plan: TPU scatters retire ~1 row/cycle, i32 sorts are ~3x
+    # faster at this width).
+    qpos = jax.lax.sort(jnp.where(order < nq, iota, INT_MAX),
+                        is_stable=False)[:nq]
+    rank = qpos - jnp.arange(nq, dtype=jnp.int32)
     starts_flat = jnp.zeros((nq,), jnp.int32).at[q_order].set(rank)
     starts = starts_flat.reshape(ta, n_tiles)
     starts = jnp.concatenate(
@@ -946,9 +954,14 @@ def apply_match_conv(st: SparseTensor, plan: MatchPlan, weights: jax.Array,
     """Run a planned conv and wrap the result as a SparseTensor."""
     out = match_conv(st.features, st.keys, (plan, weights), slab, cw)
     out = out[:plan.k_out]
+    # rows for invalid queries are exactly zero straight from the kernel
+    # (inb carries the valid mask into every tap's contribution, and any
+    # INT_MAX query matching the INT_MAX key tail gathers all-zero invalid
+    # features), so the [K, C] valid-mask select — ~2 ms/conv at union
+    # capacities, ~15 ms/iter across the flagship — is only needed to keep
+    # a bias off the invalid rows
     if bias is not None:
-        out = out + bias
-    out = jnp.where(out_valid[:, None], out, 0)
+        out = jnp.where(out_valid[:, None], out + bias, 0)
     return SparseTensor(features=out, coords=out_coords, valid=out_valid,
                         keys=out_keys,
                         spatial_shape=tuple(out_spatial_shape),

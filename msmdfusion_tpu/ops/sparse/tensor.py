@@ -233,7 +233,10 @@ def to_dense_bev(st: SparseTensor):
         st.coords[:, 2] * w + st.coords[:, 3]
     flat = jnp.where(st.valid, flat, b * d * h * w)
     dense = jnp.zeros((b * d * h * w + 1, c), st.features.dtype)
-    dense = dense.at[flat].set(st.features, mode='drop')
+    # the sorted-key invariant orders flat ascending (same axis order as
+    # the packed key) with invalid rows parked at the terminal slot
+    dense = dense.at[flat].set(st.features, mode='drop',
+                               indices_are_sorted=True, unique_indices=True)
     dense = dense[:-1].reshape(b, d, h, w, c)
     dense = jnp.transpose(dense, (0, 2, 3, 4, 1))  # [B, H, W, C, D]
     return dense.reshape(b, h, w, c * d)

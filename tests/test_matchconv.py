@@ -248,3 +248,23 @@ def test_vgather_packed_bf16_on_tpu(rng, monkeypatch):
         ko = plan.k_out
         rel = np.abs(out[:ko] - ref[:ko]).max() / np.abs(ref).max()
         assert rel < 2e-2, f'packed C={c}: rel err {rel}'
+
+
+def test_apply_match_conv_invalid_rows_exactly_zero(rng):
+    """apply_match_conv no longer masks its output when bias is None: the
+    engine must emit EXACT zeros for invalid output rows (inb carries the
+    valid mask; INT_MAX queries can only match zero-feature invalid rows).
+    Guards the epilogue-where removal for every future backend."""
+    st = make_st(rng, 512, 400, (9, 24, 24), 16)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    w = jnp.asarray((rng.randn(27, 16, 24) * 0.1).astype(np.float32))
+    out = mc.apply_match_conv(st, plan, w, st.coords, st.valid, st.keys,
+                              st.spatial_shape)
+    inv = np.asarray(out.features)[~np.asarray(st.valid)]
+    assert inv.size and np.abs(inv).max() == 0.0
+    # with a bias the valid-mask select must still keep invalid rows zero
+    bias = jnp.asarray(rng.randn(24).astype(np.float32))
+    out_b = mc.apply_match_conv(st, plan, w, st.coords, st.valid, st.keys,
+                                st.spatial_shape, bias=bias)
+    inv_b = np.asarray(out_b.features)[~np.asarray(st.valid)]
+    assert np.abs(inv_b).max() == 0.0
