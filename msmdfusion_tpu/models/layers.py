@@ -47,7 +47,8 @@ class MaskedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False):
+    def __call__(self, x, mask=None, train: bool = False,
+                 fold: bool = False):
         c = x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((c,), jnp.float32))
@@ -55,6 +56,14 @@ class MaskedBatchNorm(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
         scale = self.param('scale', nn.initializers.ones, (c,))
         bias = self.param('bias', nn.initializers.zeros, (c,))
+
+        if fold:
+            # eval-mode affine, returned for fusion into a conv epilogue:
+            # y = x*s + b with s = gamma*rsqrt(var+eps), b = beta - mean*s
+            # (x is only consulted for the channel count)
+            assert not train, 'fold is an inference-only transformation'
+            s = scale * jax.lax.rsqrt(ra_var.value + self.eps)
+            return s, bias - ra_mean.value * s
 
         reduce_axes = tuple(range(x.ndim - 1))
         if train:

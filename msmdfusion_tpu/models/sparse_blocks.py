@@ -18,9 +18,10 @@ from flax import linen as nn
 from ..ops.sparse.conv import downsample_out_coords, kernel_offsets
 from ..ops.sparse.dense_tail import dense_sparse_conv, use_dense
 from ..ops.sparse.matchconv import (DEFAULT_SLAB, ROWS_MIN_C,
-                                    apply_match_conv, attach_rows,
-                                    build_downsample_plan, build_subm_plan,
-                                    plan_rows, rows_gather_conv, use_pallas,
+                                    apply_epilogue_xla, apply_match_conv,
+                                    attach_rows, build_downsample_plan,
+                                    build_subm_plan, fuse_eval_bn, plan_rows,
+                                    rows_gather_conv, use_pallas,
                                     use_vgather)
 from ..ops.sparse.tensor import SparseTensor
 from .layers import MaskedBatchNorm, get_activation, torch_conv_init
@@ -54,12 +55,14 @@ class SubMConv3d(nn.Module):
     cw: Optional[int] = None
 
     @nn.compact
-    def __call__(self, st: SparseTensor, cache: Dict[str, Any]):
+    def __call__(self, st: SparseTensor, cache: Dict[str, Any],
+                 scale=None, shift=None, relu: bool = False):
         t = _num_taps(self.kernel_size)
         w = self.param('kernel', torch_conv_init,
                        (t, st.num_channels, self.out_channels))
         b = self.param('bias', nn.initializers.zeros,
                        (self.out_channels,)) if self.use_bias else None
+        epi = scale is not None or shift is not None or relu
         if use_dense(st, self.kernel_size):
             # coarse stages: dense-grid conv beats the match kernel and
             # needs no plan at all
@@ -68,6 +71,9 @@ class SubMConv3d(nn.Module):
             out = dense_sparse_conv(
                 st, w, st.coords, st.valid, st.keys, st.spatial_shape,
                 self.kernel_size, 1, (kz // 2, ky // 2, kx // 2), bias=b)
+            if epi:
+                out = out.replace_features(apply_epilogue_xla(
+                    out.features, out.valid, scale, shift, relu))
             return out, cache
         key = ('subm', self.indice_key or f'auto_{self.name}')
         plan = cache.get(key)
@@ -98,7 +104,10 @@ class SubMConv3d(nn.Module):
             out = rows_gather_conv(st.features, rows, w)[:plan.k_out]
             if b is not None:
                 out = out + b
-            out = jnp.where(st.valid[:, None], out, 0)
+            if epi:
+                out = apply_epilogue_xla(out, st.valid, scale, shift, relu)
+            else:
+                out = jnp.where(st.valid[:, None], out, 0)
             return SparseTensor(
                 features=out, coords=st.coords, valid=st.valid,
                 keys=st.keys, spatial_shape=st.spatial_shape,
@@ -106,7 +115,8 @@ class SubMConv3d(nn.Module):
         opts = {k: v for k, v in (('slab', self.slab), ('cw', self.cw))
                 if v}
         out = apply_match_conv(st, plan, w, st.coords, st.valid, st.keys,
-                               st.spatial_shape, bias=b, **opts)
+                               st.spatial_shape, bias=b, scale=scale,
+                               shift=shift, relu=relu, **opts)
         return out, cache
 
 
@@ -124,12 +134,14 @@ class SparseConv3d(nn.Module):
     cw: Optional[int] = None
 
     @nn.compact
-    def __call__(self, st: SparseTensor, cache: Dict[str, Any]):
+    def __call__(self, st: SparseTensor, cache: Dict[str, Any],
+                 scale=None, shift=None, relu: bool = False):
         t = _num_taps(self.kernel_size)
         w = self.param('kernel', torch_conv_init,
                        (t, st.num_channels, self.out_channels))
         b = self.param('bias', nn.initializers.zeros,
                        (self.out_channels,)) if self.use_bias else None
+        epi = scale is not None or shift is not None or relu
         cap = self.out_capacity or st.capacity
         key = ('spconv', self.indice_key or f'auto_{self.name}')
         dense = use_dense(st, self.kernel_size)
@@ -153,11 +165,15 @@ class SparseConv3d(nn.Module):
             out = dense_sparse_conv(
                 st, w, out_coords, out_valid, out_keys, out_shape,
                 self.kernel_size, self.stride, self.padding, bias=b)
+            if epi:
+                out = out.replace_features(apply_epilogue_xla(
+                    out.features, out.valid, scale, shift, relu))
             return out, cache
         opts = {k: v for k, v in (('slab', self.slab), ('cw', self.cw))
                 if v}
         out = apply_match_conv(st, plan, w, out_coords, out_valid, out_keys,
-                               out_shape, bias=b, **opts)
+                               out_shape, bias=b, scale=scale, shift=shift,
+                               relu=relu, **opts)
         return out, cache
 
 
@@ -187,6 +203,28 @@ class SparseConvBlock(nn.Module):
         norm = MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)
         act_fn = get_activation(self.act)
         tile = self.tile
+        # inference: fold the eval-mode BN affine + ReLU into the conv's
+        # fused epilogue — the post-conv [K, C] elementwise pass (and its
+        # HBM round trip) disappears (reference analog: the conv-BN fusion
+        # of tools/misc/fuse_conv_bn.py, extended with the activation)
+        if (not train and fuse_eval_bn()
+                and tuple(self.order) == ('conv', 'norm', 'act')
+                and self.act == 'relu'):
+            s, b = norm(jnp.zeros((1, self.out_channels), jnp.float32),
+                        fold=True)
+            kw = dict(scale=s, shift=b, relu=True)
+            if self.conv_type == 'SubMConv3d':
+                return SubMConv3d(
+                    self.out_channels, self.kernel_size,
+                    indice_key=self.indice_key, slab=self.slab,
+                    tile=tile, cw=self.cw)(st, cache, **kw)
+            if self.conv_type == 'SparseConv3d':
+                return SparseConv3d(
+                    self.out_channels, self.kernel_size, self.stride,
+                    self.padding, out_capacity=self.out_capacity,
+                    indice_key=self.indice_key, slab=self.slab,
+                    tile=tile, cw=self.cw)(st, cache, **kw)
+            raise ValueError(self.conv_type)
         for step in self.order:
             if step == 'conv':
                 if self.conv_type == 'SubMConv3d':
@@ -229,20 +267,40 @@ class SparseBasicBlock(nn.Module):
                  train: bool = False):
         identity = st.features
         tile = self.tile
+        norm1 = MaskedBatchNorm(momentum=self.norm_momentum,
+                                eps=self.norm_eps)
+        norm2 = MaskedBatchNorm(momentum=self.norm_momentum,
+                                eps=self.norm_eps)
+        fold = not train and fuse_eval_bn()
+        if fold:
+            # eval: both BNs fold into their conv's fused epilogue; only
+            # the residual add+ReLU remains as an elementwise pass
+            dummy = jnp.zeros((1, self.channels), jnp.float32)
+            s1, b1 = norm1(dummy, fold=True)
+            st, cache = SubMConv3d(
+                self.channels, 3, indice_key=self.indice_key,
+                slab=self.slab, tile=tile, cw=self.cw)(
+                    st, cache, scale=s1, shift=b1, relu=True)
+            s2, b2 = norm2(dummy, fold=True)
+            st, cache = SubMConv3d(
+                self.channels, 3, indice_key=self.indice_key,
+                slab=self.slab, tile=tile, cw=self.cw)(
+                    st, cache, scale=s2, shift=b2)
+            out = jnp.maximum(st.features + identity, 0)
+            st = st.replace_features(jnp.where(st.valid[:, None], out, 0))
+            return st, cache
         st, cache = SubMConv3d(self.channels, 3, indice_key=self.indice_key,
                                slab=self.slab, tile=tile,
                                cw=self.cw)(st, cache)
         st = st.replace_features(
-            MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)(
-                st.features, mask=st.valid, train=train))
+            norm1(st.features, mask=st.valid, train=train))
         st = st.replace_features(
             jnp.where(st.valid[:, None], jnp.maximum(st.features, 0), 0))
         st, cache = SubMConv3d(self.channels, 3, indice_key=self.indice_key,
                                slab=self.slab, tile=tile,
                                cw=self.cw)(st, cache)
         st = st.replace_features(
-            MaskedBatchNorm(momentum=self.norm_momentum, eps=self.norm_eps)(
-                st.features, mask=st.valid, train=train))
+            norm2(st.features, mask=st.valid, train=train))
         out = jnp.maximum(st.features + identity, 0)
         st = st.replace_features(jnp.where(st.valid[:, None], out, 0))
         return st, cache
