@@ -148,8 +148,15 @@ class MatchPlan:
     # Optional precomputed rulebook (attach_rows): the fat lane-stacked
     # matched-row layout [n_tiles*8, Ta*tile] consumed by the VMEM-gather
     # kernel, plus per-tile live flags [n_tiles]. None = one-hot backend.
+    # When col_base is set, rows_stack holds COLUMN-RELATIVE positions
+    # (row - col_base of its 128-lane column; miss = COL_MISS) and the
+    # kernel gathers from a static col_w window at each column's base
+    # instead of butterflying over the whole chunk (2-4x fewer
+    # gather/select instructions — the kernel is instruction bound).
     rows_stack: Optional[jax.Array] = None
     live32: Optional[jax.Array] = None
+    col_base: Optional[jax.Array] = None  # [Ta*tile/128, n_tiles] i32
+    col_w: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_taps(self) -> int:
@@ -737,11 +744,12 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
 #   slices inside a fori_loop over bracket chunks.
 # ---------------------------------------------------------------------------
 
-def _vgather_kernel(starts_ref, live_ref, rT_ref, ov_ref, feats_hbm, w_ref,
-                    sb_ref, o_ref, fslab, sem_f, *, taps: int, kx: int,
+def _vgather_kernel(starts_ref, live_ref, cb_ref, rT_ref, ov_ref, feats_hbm,
+                    w_ref, sb_ref, o_ref, fslab, sem_f, *, taps: int, kx: int,
                     cin: int, cout: int, slab: int, tile: int, cw: int,
-                    gemm: str = 'highest', packed: bool = False,
-                    fuse_affine: bool = False, relu: bool = False):
+                    col_w: int = 0, gemm: str = 'highest',
+                    packed: bool = False, fuse_affine: bool = False,
+                    relu: bool = False):
     """One output tile: bracket slab DMAs, butterfly row gather, GEMM.
 
     packed=True: the slab holds bf16 channel PAIRS bitcast into f32 lanes
@@ -749,6 +757,11 @@ def _vgather_kernel(starts_ref, live_ref, rT_ref, ov_ref, feats_hbm, w_ref,
     instructions), then one pltpu.bitcast unpacks to [cin, 128] bf16 with
     channels interleaved (2c, 2c+1) — verified even-interleave semantics.
     Weights arrive pre-interleaved to match, so the GEMM is oblivious.
+
+    col_w>0: rT_ref holds COLUMN-RELATIVE positions and cb_ref the
+    per-column 128-aligned bases (attach_rows): each 128-lane column
+    gathers from its own static col_w window of the slab — the butterfly
+    shrinks from cw//128 vregs x nch chunks to col_w//128 vregs, once.
     """
     i = pl.program_id(0)
     groups = taps // kx
@@ -779,35 +792,57 @@ def _vgather_kernel(starts_ref, live_ref, rT_ref, ov_ref, feats_hbm, w_ref,
                 dma(g + 1, (g + 1) % 2).start()
             dma(g, slot).wait()
             r0a = slab_start(g)
-            r_end = starts_ref[g * kx + kx - 1, i + 1]
-            nch = jnp.clip((r_end - r0a + cw - 1) // cw, 0, slab // cw)
             span = kx * tile
-            # [8, kx*tile] rows of this group's taps (8 equal sublanes)
-            rel8 = rT_ref[:, g * span:(g + 1) * span] - r0a
 
-            def gchunk(cc, g_acc, _rel8=rel8, _slot=slot):
-                f = fslab[_slot, :, pl.ds(cc * cw, cw)]     # [crows, cw]
+            if col_w:
                 cols = []
                 for lc in range(span // 128):
+                    c_ix = g * (span // 128) + lc
+                    off = pl.multiple_of(cb_ref[c_ix, i] - r0a, 128)
+                    fcol = fslab[slot, :, pl.ds(off, col_w)]  # [crows, colw]
                     rel_sl = pltpu.repeat(
-                        _rel8[:, lc * 128:(lc + 1) * 128], rep, axis=0)
-                    local = rel_sl - cc * cw                # [crows, 128]
-                    lane = local & 127
-                    vreg = local >> 7                       # miss -> negative
+                        rT_ref[:, g * span + lc * 128:
+                               g * span + (lc + 1) * 128], rep, axis=0)
+                    lane = rel_sl & 127
+                    vreg = rel_sl >> 7                      # miss -> negative
                     colc = jnp.zeros((crows, 128), jnp.float32)
-                    for v in range(cw // 128):
-                        piece = f[:, v * 128:(v + 1) * 128]
+                    for v in range(col_w // 128):
+                        piece = fcol[:, v * 128:(v + 1) * 128]
                         gg = jnp.take_along_axis(piece, lane, axis=1)
                         colc = jnp.where(vreg == v, gg, colc)
                     if packed:
-                        # unpack the gathered bf16 pairs: [crows, 128] f32
-                        # -> [cin, 128] bf16 (even-interleave)
                         colc = pltpu.bitcast(colc, jnp.bfloat16)
                     cols.append(colc)
-                return g_acc + jnp.concatenate(cols, axis=1)
+                g_here = jnp.concatenate(cols, axis=1)
+            else:
+                r_end = starts_ref[g * kx + kx - 1, i + 1]
+                nch = jnp.clip((r_end - r0a + cw - 1) // cw, 0, slab // cw)
+                # [8, kx*tile] rows of this group's taps (8 equal sublanes)
+                rel8 = rT_ref[:, g * span:(g + 1) * span] - r0a
 
-            g_here = jax.lax.fori_loop(
-                0, nch, gchunk, jnp.zeros((cin, span), gdtype))
+                def gchunk(cc, g_acc, _rel8=rel8, _slot=slot):
+                    f = fslab[_slot, :, pl.ds(cc * cw, cw)]  # [crows, cw]
+                    cols = []
+                    for lc in range(span // 128):
+                        rel_sl = pltpu.repeat(
+                            _rel8[:, lc * 128:(lc + 1) * 128], rep, axis=0)
+                        local = rel_sl - cc * cw            # [crows, 128]
+                        lane = local & 127
+                        vreg = local >> 7                   # miss -> negative
+                        colc = jnp.zeros((crows, 128), jnp.float32)
+                        for v in range(cw // 128):
+                            piece = f[:, v * 128:(v + 1) * 128]
+                            gg = jnp.take_along_axis(piece, lane, axis=1)
+                            colc = jnp.where(vreg == v, gg, colc)
+                        if packed:
+                            # unpack the gathered bf16 pairs: [crows, 128]
+                            # f32 -> [cin, 128] bf16 (even-interleave)
+                            colc = pltpu.bitcast(colc, jnp.bfloat16)
+                        cols.append(colc)
+                    return g_acc + jnp.concatenate(cols, axis=1)
+
+                g_here = jax.lax.fori_loop(
+                    0, nch, gchunk, jnp.zeros((cin, span), gdtype))
             # [cin, kx*tile] -> [kx*cin, tile] sublane stack, one GEMM/group
             g_stack = jnp.concatenate(
                 [g_here[:, j * tile:(j + 1) * tile] for j in range(kx)],
@@ -857,23 +892,67 @@ def _vgather_kernel(starts_ref, live_ref, rT_ref, ov_ref, feats_hbm, w_ref,
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
+# miss sentinel for column-relative rows: large negative keeps both the
+# lane (& 127) and the vreg (>> 7) derived in-kernel out of any valid range
+COL_MISS = -(1 << 30)
+DEFAULT_COL_W = int(os.environ.get('MSMD_CONV_COLW', 256))
+
+
 def attach_rows(in_keys: jax.Array, plan: MatchPlan,
                 slab: int = DEFAULT_SLAB, cw: Optional[int] = None,
-                interpret: bool = False) -> MatchPlan:
+                interpret: bool = False,
+                col_w: Optional[int] = None) -> MatchPlan:
     """Precompute the rulebook for the VMEM-gather backend (once per
-    indice_key; shared by every conv on the coordinate set)."""
+    indice_key; shared by every conv on the coordinate set).
+
+    col_w: static gather window per 128-lane output column. Matched
+    positions within one column are monotone and span ~(128 + local
+    density skew) rows for submanifold plans (~2x that for stride-2
+    plans — pass 512 there), so a small window at a per-column base
+    replaces the whole-slab butterfly. col_w=0 keeps absolute rows (the
+    round-3 chunked-butterfly kernel). Rows beyond the window are
+    dropped deterministically and counted ('matchconv.col_w' overflow
+    site) like every other fixed capacity in this framework.
+    """
     _record_slab_overflow(plan, slab, 'matchconv.rows_slab')
+    if col_w is None:
+        col_w = DEFAULT_COL_W
+    col_w = min(col_w, slab)
     rows = plan_rows(in_keys, plan, slab=slab, cw=cw,
                      interpret=interpret)                 # [K_out_pad, Ta]
     n_tiles, tile, ta, kx = plan.n_tiles, plan.tile, plan.num_taps, plan.kx
     groups = ta // kx
     rs = rows.reshape(n_tiles, tile, groups, kx)
     rs = rs.transpose(0, 2, 3, 1).reshape(n_tiles, ta * tile)
+    cb = None
+    if col_w:
+        # per 128-lane column: base = floor(min matched row / 128) * 128,
+        # clamped so [base, base + col_w) stays inside the group's slab
+        # window [r0a, r0a + slab)
+        ncol = ta * tile // 128
+        rcol = rs.reshape(n_tiles, ncol, 128)
+        hit = rcol >= 0
+        mn = jnp.min(jnp.where(hit, rcol, np.int32(INT_MAX)), axis=2)
+        base = (mn // 128) * 128                          # [n_tiles, ncol]
+        # group slab start for each column (column c belongs to group
+        # c // (kx * tile // 128)); starts is [Ta, n_tiles + 1]
+        cpg = kx * tile // 128
+        g0 = (jnp.arange(ncol, dtype=jnp.int32) // cpg) * kx
+        r0a = (plan.starts[g0, :-1].T // 128) * 128       # [n_tiles, ncol]
+        base = jnp.clip(base, r0a, r0a + slab - col_w)
+        rel = rcol - base[:, :, None]
+        dropped = hit & ((rel < 0) | (rel >= col_w))
+        from ...utils import overflow
+        overflow.record('matchconv.col_w', jnp.sum(dropped))
+        rs = jnp.where(hit & ~dropped, rel,
+                       np.int32(COL_MISS)).reshape(n_tiles, ta * tile)
+        cb = base.T.astype(jnp.int32)                     # [ncol, n_tiles]
     # 8 duplicated sublanes: pltpu.repeat needs a full sublane block
     rs = jnp.broadcast_to(rs[:, None, :], (n_tiles, 8, ta * tile))
     rs = rs.reshape(n_tiles * 8, ta * tile)
     live = (plan.queries[::tile, 0] != INT_MAX).astype(jnp.int32)
-    return dataclasses.replace(plan, rows_stack=rs, live32=live)
+    return dataclasses.replace(plan, rows_stack=rs, live32=live,
+                               col_base=cb, col_w=int(col_w))
 
 
 def _vgather_vmem_bytes(cin_pad: int, cout: int, ta: int, tile: int,
@@ -934,23 +1013,27 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
 
     fuse_affine = scale is not None or shift is not None
     sb_arg, ov_arg = _epilogue_args(plan, cout, scale, shift, out_valid)
+    col_w = plan.col_w if plan.col_base is not None else 0
+    col_w = min(col_w, slab)
+    cb_arg = (plan.col_base if col_w
+              else jnp.zeros((1, n_tiles), jnp.int32))
     kernel = functools.partial(
         _vgather_kernel, taps=ta, kx=plan.kx, cin=cin_pad, cout=cout,
-        slab=slab, tile=tile, cw=cw, gemm=gemm_mode(), packed=packed,
-        fuse_affine=fuse_affine, relu=relu)
+        slab=slab, tile=tile, cw=cw, col_w=col_w, gemm=gemm_mode(),
+        packed=packed, fuse_affine=fuse_affine, relu=relu)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, ta * tile), lambda i, s1, s2: (i, 0),
+            pl.BlockSpec((8, ta * tile), lambda i, *s: (i, 0),
                          memory_space=pltpu.VMEM),        # rows_stack
-            pl.BlockSpec((tile, 1), lambda i, s1, s2: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i, *s: (i, 0),
                          memory_space=pltpu.VMEM),        # out_valid rows
             pl.BlockSpec(memory_space=pltpu.HBM),         # featsT
             pl.BlockSpec(memory_space=pltpu.VMEM),        # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),        # scale/shift rows
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda i, s1, s2: (i, 0),
+        out_specs=pl.BlockSpec((tile, cout), lambda i, *s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, slab_rows, slab), jnp.float32),  # feat slabs
@@ -967,8 +1050,8 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
             bytes_accessed=n_tiles * (ta // plan.kx) * slab * cin * 4,
             transcendentals=0),
         interpret=interpret,
-    )(plan.starts, plan.live32, plan.rows_stack, ov_arg, feats_t, w_arg,
-      sb_arg)
+    )(plan.starts, plan.live32, cb_arg, plan.rows_stack, ov_arg, feats_t,
+      w_arg, sb_arg)
     return out
 
 
@@ -1063,7 +1146,11 @@ def apply_match_conv(st: SparseTensor, plan: MatchPlan, weights: jax.Array,
     """
     if scale is not None or shift is not None or relu:
         if bias is not None:
-            shift = bias if shift is None else shift + bias
+            # BN-after-biased-conv folds as (conv + bias)*scale + shift,
+            # i.e. the bias enters the shift PRE-scaled (matches the
+            # rows-gather path in sparse_blocks, which adds bias first)
+            b_eff = bias * scale if scale is not None else bias
+            shift = b_eff if shift is None else shift + b_eff
         out, fused = match_conv_fused(st.features, st.keys, plan, weights,
                                       scale, shift, relu, out_valid, slab,
                                       cw)

@@ -178,9 +178,18 @@ def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
     encoder, sparse_multimodal_encoder_painting.py:455). Channel counts must
     match; output has static ``capacity`` rows (overflow beyond capacity is
     dropped deterministically from the high-key end).
+
+    Precondition: each input's VALID keys are unique (the sorted-key
+    invariant every constructor in this module establishes); a violated
+    invariant would silently drop the 3rd+ member of a key group here.
     """
     assert a.spatial_shape == b.spatial_shape
     assert a.num_channels == b.num_channels
+    # the gather-form union below slices to exactly `capacity` rows, which
+    # can only pad-with-invalid up to the concatenated input size
+    assert capacity <= a.capacity + b.capacity, (
+        f'sparse_add capacity {capacity} exceeds input row budget '
+        f'{a.capacity}+{b.capacity}')
     keys = jnp.concatenate([a.keys, b.keys])
     feats = jnp.concatenate([a.features, b.features], axis=0)
     n = keys.shape[0]
@@ -231,13 +240,17 @@ def to_dense_bev(st: SparseTensor):
     c = st.num_channels
     flat = (st.coords[:, 0] * d + st.coords[:, 1]) * (h * w) + \
         st.coords[:, 2] * w + st.coords[:, 3]
+    # invalid rows park at index b*d*h*w, which is OUT OF BOUNDS for the
+    # size-b*d*h*w output: mode='drop' turns them into true non-writes, so
+    # unique_indices=True is honest (valid keys are unique by invariant;
+    # duplicate in-bounds writes would be XLA UB otherwise)
     flat = jnp.where(st.valid, flat, b * d * h * w)
-    dense = jnp.zeros((b * d * h * w + 1, c), st.features.dtype)
+    dense = jnp.zeros((b * d * h * w, c), st.features.dtype)
     # the sorted-key invariant orders flat ascending (same axis order as
-    # the packed key) with invalid rows parked at the terminal slot
+    # the packed key) with invalid rows parked past the end
     dense = dense.at[flat].set(st.features, mode='drop',
                                indices_are_sorted=True, unique_indices=True)
-    dense = dense[:-1].reshape(b, d, h, w, c)
+    dense = dense.reshape(b, d, h, w, c)
     dense = jnp.transpose(dense, (0, 2, 3, 4, 1))  # [B, H, W, C, D]
     return dense.reshape(b, h, w, c * d)
 

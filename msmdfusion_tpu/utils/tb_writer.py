@@ -19,11 +19,14 @@ Wire format (stable public TF contracts):
 """
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
 import time
 from typing import Dict, Optional
+
+_WRITER_SEQ = itertools.count()
 
 # ---- CRC32C (Castagnoli, reflected poly 0x82F63B78), table-driven ----
 _CRC_TABLE = []
@@ -186,8 +189,11 @@ class TensorboardEventWriter:
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         host = socket.gethostname()
+        # pid + monotonic counter uniquify the name: two writers created
+        # within the same second must not truncate each other
+        suffix = f'{os.getpid()}.{next(_WRITER_SEQ)}'
         self.path = os.path.join(
-            log_dir, f'events.out.tfevents.{int(time.time())}.{host}')
+            log_dir, f'events.out.tfevents.{int(time.time())}.{host}.{suffix}')
         with open(self.path, 'wb') as f:
             f.write(_frame_record(_encode_event(
                 time.time(), 0, file_version='brain.Event:2')))

@@ -147,11 +147,13 @@ def main():
     # reference log_config.hooks includes TensorboardLoggerHook
     # (configs/MSMDFusion_nusc_voxel_LC.py:296-299); emit real TB event
     # files when configured (utils/tb_writer.py, dependency-free)
-    for hook in cfg.get('log_config', {}).get('hooks', []):
-        if dict(hook).get('type') == 'TensorboardLoggerHook':
-            from msmdfusion_tpu.utils.tb_writer import TensorboardEventWriter
-            writers.append(TensorboardEventWriter(
-                os.path.join(work_dir, 'tf_logs')))
+    if any(dict(h).get('type') == 'TensorboardLoggerHook'
+           for h in cfg.get('log_config', {}).get('hooks', [])):
+        # exactly ONE writer even if the hook is listed twice: duplicate
+        # writers collide on the second-resolution event filename
+        from msmdfusion_tpu.utils.tb_writer import TensorboardEventWriter
+        writers.append(TensorboardEventWriter(
+            os.path.join(work_dir, 'tf_logs')))
 
     class _FanOut:
         def write(self, *a, **kw):
