@@ -30,6 +30,32 @@ class WaymoDataset(KittiDataset):
         if load_interval > 1:
             self.data_infos = self.data_infos[::load_interval]
 
+    def format_results(self, results, jsonfile_prefix=None):
+        """Write the combined waymo ``Objects`` .bin submission file.
+
+        Mirrors the reference's ``waymo_results_final_path`` output
+        (prediction_kitti_to_waymo.py:261 ``convert``/``combine``,
+        waymo_dataset.py:279-350) so the native-proxy metrics can be
+        cross-checked against the official WOD evaluator externally.
+        """
+        from ..core.evaluation.waymo_serialize import serialize_waymo_objects
+        contexts = []
+        for info in self.data_infos[:len(results)]:
+            pc = info.get('point_cloud', {})
+            contexts.append(dict(
+                context_name=str(info.get('context_name',
+                                          pc.get('lidar_idx', ''))),
+                timestamp_micros=int(info.get('timestamp',
+                                              info.get('timestamp_micros',
+                                                       0)))))
+        buf = serialize_waymo_objects(results, contexts, list(self.CLASSES))
+        out = (jsonfile_prefix or os.path.join(
+            self.data_root or '.', 'results_waymo')) + '.bin'
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        with open(out, 'wb') as f:
+            f.write(buf)
+        return out
+
     def evaluate(self, results, metric='waymo', iou_thr=(0.7, 0.5, 0.5),
                  **kwargs):
         """metric='waymo': native L1/L2 3D mAP/mAPH protocol

@@ -155,9 +155,15 @@ class SparseConv3d(nn.Module):
                 self.padding,
                 **({'tile': self.tile} if self.tile else {}))
             if plan is not None and use_vgather() and use_pallas():
+                # stride-s output columns span ~s x the input rows of a
+                # submanifold column — give strided plans a wider gather
+                # window (drops are counted at 'matchconv.col_w')
+                from ..ops.sparse.matchconv import DEFAULT_COL_W
                 plan = attach_rows(st.keys, plan,
                                    slab=self.slab or DEFAULT_SLAB,
-                                   cw=self.cw)
+                                   cw=self.cw,
+                                   col_w=(2 * DEFAULT_COL_W
+                                          if DEFAULT_COL_W else None))
             entry = (out_keys, out_coords, out_valid, out_shape, plan)
             cache[key] = entry
         out_keys, out_coords, out_valid, out_shape, plan = entry

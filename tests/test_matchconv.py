@@ -162,7 +162,20 @@ def test_attach_rows_layout_matches_searchsorted(rng):
     got = rs.reshape(n_tiles, 8, ta, tile)
     np.testing.assert_array_equal(got[:, 0], got[:, 7])  # dup sublanes
     want = rows_ref.reshape(n_tiles, tile, ta).transpose(0, 2, 1)
-    np.testing.assert_array_equal(got[:, 0], want)
+    # rows are stored COLUMN-RELATIVE: absolute = rel + col_base of the
+    # 128-lane column; misses hold the COL_MISS sentinel
+    assert plan.col_w > 0 and plan.col_base is not None
+    cb = np.asarray(plan.col_base)                       # [ncol, n_tiles]
+    assert cb.shape == (ta * tile // 128, n_tiles)
+    rel = got[:, 0].reshape(n_tiles, ta * tile // 128, 128)
+    base = cb.T[:, :, None]
+    hit = want.reshape(n_tiles, -1, 128) >= 0
+    np.testing.assert_array_equal(
+        np.where(hit, rel + base, -1), np.where(hit, want.reshape(
+            n_tiles, -1, 128), -1))
+    assert (rel[hit] >= 0).all() and (rel[hit] < plan.col_w).all()
+    assert (rel[~hit] == mc.COL_MISS).all()
+    assert (cb % 128 == 0).all()
     live = np.asarray(plan.live32)
     q0 = np.asarray(plan.queries)[::tile, 0]
     np.testing.assert_array_equal(live, (q0 != INT_MAX).astype(np.int32))

@@ -157,6 +157,24 @@ def test_train_cli_runs_steps(synthetic_dataset):
     assert 'val: ' in log
 
 
+@pytest.mark.slow
+def test_dist_train_launcher_script(synthetic_dataset):
+    """tools/dist_train.sh (reference tools/dist_train.sh:1-9): the wrapper
+    must resolve paths, pass --launcher through, and degrade gracefully to
+    single-process when no pod runtime exists (init_dist soft-fails)."""
+    tmp_path, cfg_path = synthetic_dataset
+    work_dir = tmp_path / 'work_dist'
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=2')
+    proc = subprocess.run(
+        ['bash', os.path.join(REPO, 'tools', 'dist_train.sh'), cfg_path,
+         '0', '--work-dir', str(work_dir), '--max-steps', '2',
+         '--no-validate'],
+        capture_output=True, text=True, env=env, timeout=3000)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert 'total_loss' in (work_dir / 'train.log').read_text()
+
+
 def test_frozen_bn_stats_bit_identical():
     """With frozen_predicates, BN running stats of frozen subtrees must not
     drift across a train step (reference tools/train.py:185-219 puts frozen
