@@ -111,14 +111,14 @@ class TransformerDecoderLayer(nn.Module):
                 self.d_model, self.nhead, self.dropout,
                 name='self_attn')(q, q, q, train=train)
             query = query + drop(attn_out)
-            query = nn.LayerNorm(name='norm1')(query)
+            query = nn.LayerNorm(epsilon=1e-5, name='norm1')(query)
 
         attn_out = MultiheadAttention(
             self.d_model, self.nhead, self.dropout, name='multihead_attn')(
                 query + qpe, key + kpe, key + kpe, attn_mask=attn_mask,
                 train=train)
         query = query + drop(attn_out)
-        query = nn.LayerNorm(name='norm2')(query)
+        query = nn.LayerNorm(epsilon=1e-5, name='norm2')(query)
 
         ff = nn.Dense(self.dim_feedforward, kernel_init=torch_conv_init,
                       name='linear1')(query)
@@ -126,7 +126,7 @@ class TransformerDecoderLayer(nn.Module):
         ff = nn.Dense(self.d_model, kernel_init=torch_conv_init,
                       name='linear2')(ff)
         query = query + drop(ff)
-        query = nn.LayerNorm(name='norm3')(query)
+        query = nn.LayerNorm(epsilon=1e-5, name='norm3')(query)
         return query
 
 

@@ -114,6 +114,16 @@ class SparseMultiModalEncoderPaint(nn.Module):
     norm_momentum: float = 0.01
     # per-stage output capacities of the downscale convs
     stage_capacities: Optional[Sequence[int]] = None
+    # per-stage row budgets for the 3D/2D union fed to the aggregation
+    # block. The naive union is v3.capacity + v2.capacity rows, but mixed
+    # voxels occupy ONE union row while consuming one row of each input —
+    # on realistic scenes (>30% of 2D voxels mixed) the union occupancy
+    # sits well under the sum. Aggregation-conv cost scales linearly with
+    # this capacity, so right-sizing it from the occupancy gauges
+    # (occ.make[gma_union_*], bench MSMD_BENCH_GAUGES=1) directly buys
+    # device time. Drops (only ever the largest-key valid rows) are
+    # counted at sparse.make.capacity[gma_union_*].
+    union_capacities: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, voxel_3d_list, voxel_2d_list, fps_num_list, radius_list,
@@ -204,9 +214,11 @@ class SparseMultiModalEncoderPaint(nn.Module):
             union_feats = jnp.concatenate([f3_rows, f2_rows], axis=0)
             union_coords = jnp.concatenate([v3.coords, v2.coords], axis=0)
             union_valid = jnp.concatenate([f3_valid, f2_valid])
+            union_cap = (self.union_capacities[i]
+                         if self.union_capacities is not None else None)
             unified = make_sparse_tensor(
                 union_feats, union_coords, union_valid, v3.spatial_shape,
-                v3.batch_size)
+                v3.batch_size, capacity=union_cap, site=f'gma_union_{i}')
 
             cache: Dict[str, Any] = {}
             unified, cache = SparseBasicBlock(

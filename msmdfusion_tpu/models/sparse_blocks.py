@@ -86,7 +86,7 @@ class SubMConv3d(nn.Module):
                 # coordinate set then skips the one-hot match entirely
                 plan = attach_rows(st.keys, plan,
                                    slab=self.slab or DEFAULT_SLAB,
-                                   cw=self.cw)
+                                   cw=self.cw, site=key[1])
             cache[key] = plan
         if st.num_channels >= ROWS_MIN_C > 0:
             # wide channels: extract the rulebook rows once per indice_key
@@ -149,21 +149,20 @@ class SparseConv3d(nn.Module):
         if entry is None:
             out_keys, out_coords, out_valid, out_shape = \
                 downsample_out_coords(
-                    st, self.kernel_size, self.stride, self.padding, cap)
+                    st, self.kernel_size, self.stride, self.padding, cap,
+                    site=key[1])
             plan = None if dense else build_downsample_plan(
                 st, out_coords, out_valid, self.kernel_size, self.stride,
                 self.padding,
                 **({'tile': self.tile} if self.tile else {}))
             if plan is not None and use_vgather() and use_pallas():
                 # stride-s output columns span ~s x the input rows of a
-                # submanifold column — give strided plans a wider gather
-                # window (drops are counted at 'matchconv.col_w')
-                from ..ops.sparse.matchconv import DEFAULT_COL_W
+                # submanifold column; the kernel's per-column tail loop
+                # (plan.col_nv) covers the excess exactly, so the fast
+                # window stays at the default
                 plan = attach_rows(st.keys, plan,
                                    slab=self.slab or DEFAULT_SLAB,
-                                   cw=self.cw,
-                                   col_w=(2 * DEFAULT_COL_W
-                                          if DEFAULT_COL_W else None))
+                                   cw=self.cw, site=key[1])
             entry = (out_keys, out_coords, out_valid, out_shape, plan)
             cache[key] = entry
         out_keys, out_coords, out_valid, out_shape, plan = entry

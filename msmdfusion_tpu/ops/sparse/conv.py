@@ -94,20 +94,25 @@ def _gather_x_triples(table, base_cells):
     ~2 orders of magnitude faster.
 
     base_cells: [K] int32 (cell of the dx=-1 tap, may be out of range).
-    Returns [K, 3] entries (garbage where base was out of range — callers
-    mask with the per-tap validity).
+    Returns [K, 3] entries (-1 where cell ``base + j`` is out of the grid).
     """
     lanes = table.shape[1]
     num_rows = table.shape[0]
     row = jnp.clip(base_cells // lanes, 0, num_rows - 2)
-    off = jnp.clip(base_cells - row * lanes, 0, 2 * lanes - 3)
+    # off may be NEGATIVE (base < 0 at the grid corner) or >= 2*lanes (base
+    # past the end): the one-hot then matches nothing and the bounds mask
+    # below returns -1. Clipping off instead (the old behavior) silently
+    # MISALIGNED the triple: out voxels near cell 0 read lanes shifted by
+    # |base|, poisoning taps whose own neighbor WAS in bounds.
+    off = base_cells - row * lanes
     vals = jnp.concatenate(
         [jnp.take(table, row, axis=0), jnp.take(table, row + 1, axis=0)],
         axis=-1)                                          # [K, 2*lanes]
     idx3 = off[:, None] + jnp.arange(3, dtype=off.dtype)[None, :]  # [K, 3]
     onehot = (idx3[:, :, None] ==
               jnp.arange(2 * lanes, dtype=off.dtype)[None, None, :])
-    return jnp.sum(jnp.where(onehot, vals[:, None, :], 0), axis=-1)
+    got = jnp.sum(jnp.where(onehot, vals[:, None, :], 0), axis=-1)
+    return jnp.where((idx3 >= 0) & (idx3 < 2 * lanes), got, -1)
 
 
 def build_subm_neighbor_table(st: SparseTensor, kernel_size) -> jax.Array:
@@ -272,7 +277,7 @@ def subm_conv(st: SparseTensor, weights: jax.Array,
 
 
 def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
-                          capacity: int):
+                          capacity: int, site: str = ''):
     """Active output coordinate set of a strided sparse conv.
 
     Output position o (per axis) receives input i iff
@@ -340,8 +345,10 @@ def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
     # flagship trace) while an i32 sort of the same width is ~2ms
     # framework-only cap (spconv output coords are dynamically sized)
     from ...utils import overflow
-    overflow.record('sparse.downsample.out_cap',
+    tag = f'[{site}]' if site else ''
+    overflow.record(f'sparse.downsample.out_cap{tag}',
                     jnp.maximum(jnp.sum(head) - capacity, 0))
+    overflow.gauge(f'occ.downsample_out{tag}', jnp.sum(head))
     out_keys = jax.lax.sort(jnp.where(head, skey, INT_MAX),
                             is_stable=False)[:capacity]
     out_valid = out_keys != INT_MAX

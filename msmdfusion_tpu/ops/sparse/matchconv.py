@@ -157,6 +157,11 @@ class MatchPlan:
     live32: Optional[jax.Array] = None
     col_base: Optional[jax.Array] = None  # [Ta*tile/128, n_tiles] i32
     col_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # per-column NEEDED vreg count (ceil(span/128), slab-clamped): columns
+    # wider than the static col_w fast window run a predicated tail loop in
+    # the kernel up to this bound — realistic scenes have density skew that
+    # makes a handful of columns span the whole slab while 99%+ fit col_w
+    col_nv: Optional[jax.Array] = None    # [Ta*tile/128, n_tiles] i32
 
     @property
     def num_taps(self) -> int:
@@ -744,8 +749,9 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
 #   slices inside a fori_loop over bracket chunks.
 # ---------------------------------------------------------------------------
 
-def _vgather_kernel(starts_ref, live_ref, cb_ref, rT_ref, ov_ref, feats_hbm,
-                    w_ref, sb_ref, o_ref, fslab, sem_f, *, taps: int, kx: int,
+def _vgather_kernel(starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
+                    feats_hbm, w_ref, sb_ref, o_ref, fslab, sem_f, *,
+                    taps: int, kx: int,
                     cin: int, cout: int, slab: int, tile: int, cw: int,
                     col_w: int = 0, gemm: str = 'highest',
                     packed: bool = False, fuse_affine: bool = False,
@@ -760,8 +766,12 @@ def _vgather_kernel(starts_ref, live_ref, cb_ref, rT_ref, ov_ref, feats_hbm,
 
     col_w>0: rT_ref holds COLUMN-RELATIVE positions and cb_ref the
     per-column 128-aligned bases (attach_rows): each 128-lane column
-    gathers from its own static col_w window of the slab — the butterfly
-    shrinks from cw//128 vregs x nch chunks to col_w//128 vregs, once.
+    gathers from its own col_w-wide FAST window at the column base (the
+    butterfly shrinks from cw//128 vregs x nch chunks to col_w//128 vregs,
+    once), then a data-dependent fori_loop extends the window to nv_ref
+    vregs for the rare columns whose matches span wider (density skew on
+    realistic scenes) — exact up to the slab, zero iterations for the
+    99%+ of columns that fit col_w.
     """
     i = pl.program_id(0)
     groups = taps // kx
@@ -810,6 +820,21 @@ def _vgather_kernel(starts_ref, live_ref, cb_ref, rT_ref, ov_ref, feats_hbm,
                         piece = fcol[:, v * 128:(v + 1) * 128]
                         gg = jnp.take_along_axis(piece, lane, axis=1)
                         colc = jnp.where(vreg == v, gg, colc)
+                    # tail: the rare columns whose matched rows span past
+                    # the fast window (zero iterations otherwise)
+                    nv_c = nv_ref[c_ix, i]
+
+                    def vtail(v, acc, _slot=slot, _off=off, _lane=lane,
+                              _vreg=vreg):
+                        p = fslab[_slot, :,
+                                  pl.ds(pl.multiple_of(_off + v * 128, 128),
+                                        128)]
+                        gg = jnp.take_along_axis(p, _lane, axis=1)
+                        return jnp.where(_vreg == v, gg, acc)
+
+                    colc = jax.lax.fori_loop(
+                        col_w // 128, jnp.maximum(nv_c, col_w // 128),
+                        vtail, colc)
                     if packed:
                         colc = pltpu.bitcast(colc, jnp.bfloat16)
                     cols.append(colc)
@@ -901,7 +926,8 @@ DEFAULT_COL_W = int(os.environ.get('MSMD_CONV_COLW', 256))
 def attach_rows(in_keys: jax.Array, plan: MatchPlan,
                 slab: int = DEFAULT_SLAB, cw: Optional[int] = None,
                 interpret: bool = False,
-                col_w: Optional[int] = None) -> MatchPlan:
+                col_w: Optional[int] = None,
+                site: str = '') -> MatchPlan:
     """Precompute the rulebook for the VMEM-gather backend (once per
     indice_key; shared by every conv on the coordinate set).
 
@@ -924,7 +950,7 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
     groups = ta // kx
     rs = rows.reshape(n_tiles, tile, groups, kx)
     rs = rs.transpose(0, 2, 3, 1).reshape(n_tiles, ta * tile)
-    cb = None
+    cb = nv = None
     if col_w:
         # per 128-lane column: base = floor(min matched row / 128) * 128,
         # clamped so [base, base + col_w) stays inside the group's slab
@@ -941,9 +967,22 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
         r0a = (plan.starts[g0, :-1].T // 128) * 128       # [n_tiles, ncol]
         base = jnp.clip(base, r0a, r0a + slab - col_w)
         rel = rcol - base[:, :, None]
-        dropped = hit & ((rel < 0) | (rel >= col_w))
+        # plan_rows only ever matches inside the slab window, so every hit
+        # satisfies 0 <= rel < slab - (base - r0a): no drops are possible —
+        # columns wider than col_w spill into the kernel's per-column tail
+        # loop (col_nv). The counter proves the invariant at runtime.
+        avail = (r0a + slab - base)[:, :, None]
+        dropped = hit & ((rel < 0) | (rel >= avail))
         from ...utils import overflow
-        overflow.record('matchconv.col_w', jnp.sum(dropped))
+        tag = f'[{site}]' if site else ''
+        overflow.record(f'matchconv.col_w{tag}', jnp.sum(dropped))
+        # capacity planning: the window each column actually NEEDS (max
+        # matched row above its aligned base) — drives the static col_w
+        # fast-window choice; the tail loop covers the excess exactly
+        mx = jnp.max(jnp.where(hit, rcol, jnp.int32(-1)), axis=2)
+        span = jnp.where(mx >= 0, mx - base + 1, 0)       # [n_tiles, ncol]
+        overflow.gauge(f'need.col_w{tag}', jnp.max(span))
+        nv = ((span + 127) // 128).T.astype(jnp.int32)    # [ncol, n_tiles]
         rs = jnp.where(hit & ~dropped, rel,
                        np.int32(COL_MISS)).reshape(n_tiles, ta * tile)
         cb = base.T.astype(jnp.int32)                     # [ncol, n_tiles]
@@ -952,7 +991,7 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
     rs = rs.reshape(n_tiles * 8, ta * tile)
     live = (plan.queries[::tile, 0] != INT_MAX).astype(jnp.int32)
     return dataclasses.replace(plan, rows_stack=rs, live32=live,
-                               col_base=cb, col_w=int(col_w))
+                               col_base=cb, col_w=int(col_w), col_nv=nv)
 
 
 def _vgather_vmem_bytes(cin_pad: int, cout: int, ta: int, tile: int,
@@ -1017,12 +1056,14 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
     col_w = min(col_w, slab)
     cb_arg = (plan.col_base if col_w
               else jnp.zeros((1, n_tiles), jnp.int32))
+    nv_arg = (plan.col_nv if col_w and plan.col_nv is not None
+              else jnp.zeros_like(cb_arg))
     kernel = functools.partial(
         _vgather_kernel, taps=ta, kx=plan.kx, cin=cin_pad, cout=cout,
         slab=slab, tile=tile, cw=cw, col_w=col_w, gemm=gemm_mode(),
         packed=packed, fuse_affine=fuse_affine, relu=relu)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, ta * tile), lambda i, *s: (i, 0),
@@ -1050,8 +1091,8 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
             bytes_accessed=n_tiles * (ta // plan.kx) * slab * cin * 4,
             transcendentals=0),
         interpret=interpret,
-    )(plan.starts, plan.live32, cb_arg, plan.rows_stack, ov_arg, feats_t,
-      w_arg, sb_arg)
+    )(plan.starts, plan.live32, cb_arg, nv_arg, plan.rows_stack, ov_arg,
+      feats_t, w_arg, sb_arg)
     return out
 
 

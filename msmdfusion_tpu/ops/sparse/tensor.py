@@ -83,8 +83,17 @@ def unpack_keys(keys, spatial_shape: Tuple[int, int, int]):
 
 def make_sparse_tensor(features, coords, valid,
                        spatial_shape: Tuple[int, int, int], batch_size: int,
-                       assume_sorted: bool = False) -> SparseTensor:
-    """Build a SparseTensor, establishing the sorted-key invariant."""
+                       assume_sorted: bool = False,
+                       capacity: int = None,
+                       site: str = '') -> SparseTensor:
+    """Build a SparseTensor, establishing the sorted-key invariant.
+
+    ``capacity``: optional row budget smaller than the input row count —
+    the sorted layout keeps the smallest keys, so truncation drops only
+    the largest-key valid rows (counted at ``sparse.make.capacity[site]``
+    when any are valid; size the cap from the occupancy gauges). Downstream
+    conv cost scales with capacity, so tight caps directly buy time.
+    """
     keys = pack_keys(coords, spatial_shape, batch_size, valid)
     if not assume_sorted:
         # one sort carries the permutation; valid/coords are then derived
@@ -96,6 +105,18 @@ def make_sparse_tensor(features, coords, valid,
         features = features[order]
         valid = keys != INT_MAX
         coords = unpack_keys(jnp.where(valid, keys, 0), spatial_shape)
+        if site:
+            from ...utils import overflow
+            overflow.gauge(f'occ.make[{site}]', jnp.sum(valid))
+        if capacity is not None and capacity < keys.shape[0]:
+            from ...utils import overflow
+            tag = f'[{site}]' if site else ''
+            overflow.record(f'sparse.make.capacity{tag}',
+                            jnp.sum(valid[capacity:]))
+            keys = keys[:capacity]
+            features = features[:capacity]
+            valid = valid[:capacity]
+            coords = coords[:capacity]
     features = jnp.where(valid[:, None], features, 0)
     coords = jnp.where(valid[:, None], coords, -1)
     return SparseTensor(features=features, coords=coords, valid=valid,
@@ -203,6 +224,7 @@ def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
     # framework-only cap: spconv's sparse_add output is dynamically sized
     overflow.record('sparse.sparse_add.union_cap',
                     jnp.maximum(jnp.sum(head) - capacity, 0))
+    overflow.gauge('occ.sparse_add_union', jnp.sum(head))
     # gather-form union: each input's valid keys are unique (sorted-key
     # invariant), so every output group is 1 or 2 adjacent sorted rows.
     # Compact the group-start positions with one i32 sort, then GATHER the

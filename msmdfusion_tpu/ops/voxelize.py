@@ -268,6 +268,7 @@ def voxelize_mean_batch(points, point_mask, voxel_size, point_cloud_range,
     # whole voxels the reference would have kept
     overflow.record('voxelize.mean_batch.voxel_cap',
                     jnp.maximum(jnp.sum(head) - v, 0))
+    overflow.gauge('occ.voxelize_mean', jnp.sum(head))
     seg = jnp.where(sorted_valid & (slot < v), slot, v)
 
     sorted_feats = flat[order]

@@ -173,7 +173,12 @@ def test_attach_rows_layout_matches_searchsorted(rng):
     np.testing.assert_array_equal(
         np.where(hit, rel + base, -1), np.where(hit, want.reshape(
             n_tiles, -1, 128), -1))
-    assert (rel[hit] >= 0).all() and (rel[hit] < plan.col_w).all()
+    # hits may exceed the col_w FAST window (the kernel's tail loop covers
+    # them) but never the per-column needed-vreg bound or the slab
+    assert (rel[hit] >= 0).all() and (rel[hit] < mc.DEFAULT_SLAB).all()
+    nv = np.asarray(plan.col_nv)                         # [ncol, n_tiles]
+    nv_bound = np.broadcast_to(nv.T[:, :, None] * 128, rel.shape)
+    assert (rel[hit] < nv_bound[hit]).all()
     assert (rel[~hit] == mc.COL_MISS).all()
     assert (cb % 128 == 0).all()
     live = np.asarray(plan.live32)
@@ -281,3 +286,78 @@ def test_apply_match_conv_invalid_rows_exactly_zero(rng):
                                 st.spatial_shape, bias=bias)
     inv_b = np.asarray(out_b.features)[~np.asarray(st.valid)]
     assert np.abs(inv_b).max() == 0.0
+
+
+def make_skewed_st(rng, k_cap, shape, c):
+    """Density-skewed coordinate set: one dense z-plane slab next to sparse
+    planes, so a tap's shifted window covers wildly different row counts —
+    the realistic-scene pattern that makes some 128-lane columns span far
+    past the static col_w fast window."""
+    z, y, x = shape
+    dense_n = int(k_cap * 0.7)
+    coords = [np.stack([np.zeros(dense_n, np.int32),
+                        np.full(dense_n, z // 2, np.int32),
+                        rng.randint(0, y, dense_n),
+                        rng.randint(0, x, dense_n)], 1)]
+    sparse_n = int(k_cap * 0.2)
+    coords.append(np.stack([np.zeros(sparse_n, np.int32),
+                            rng.randint(0, z, sparse_n),
+                            rng.randint(0, y, sparse_n),
+                            rng.randint(0, x, sparse_n)], 1))
+    coords = np.concatenate(coords).astype(np.int32)
+    keys = ((coords[:, 0] * z + coords[:, 1]) * y + coords[:, 2]) * x \
+        + coords[:, 3]
+    _, idx = np.unique(keys, return_index=True)
+    order = idx[np.argsort(keys[idx])]
+    coords = coords[order]
+    n = len(coords)
+    pad = k_cap - n
+    coords_full = np.concatenate([coords, np.zeros((pad, 4), np.int32)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    keys_full = np.concatenate(
+        [np.sort(keys[idx]), np.full(pad, INT_MAX, np.int64)]
+    ).astype(np.int32)
+    feats = rng.randn(k_cap, c).astype(np.float32) * valid[:, None]
+    return SparseTensor(features=jnp.asarray(feats),
+                        coords=jnp.asarray(coords_full),
+                        valid=jnp.asarray(valid), keys=jnp.asarray(keys_full),
+                        spatial_shape=shape, batch_size=1)
+
+
+def test_vgather_tail_loop_covers_wide_columns_interpret(rng):
+    """Columns spanning past the col_w fast window are gathered EXACTLY by
+    the kernel's per-column tail loop (plan.col_nv) — zero dropped matches
+    on density-skewed data (the round-3 kernel dropped them)."""
+    st = make_skewed_st(rng, 2048, (9, 40, 44), 8)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    plan = mc.attach_rows(st.keys, plan, interpret=True, col_w=128)
+    # precondition: the skew actually produces wide columns
+    assert int(np.asarray(plan.col_nv).max()) > 1, \
+        'test scene failed to produce columns wider than col_w'
+    w = jnp.asarray((rng.randn(27, 8, 8) * 0.1).astype(np.float32))
+    out = mc._vgather_conv(st.features, plan, w, interpret=True)
+    assert out is not None
+    ref = mc._fallback_conv(st.features, st.keys, plan, w)
+    ko = plan.k_out
+    np.testing.assert_allclose(np.asarray(out)[:ko], np.asarray(ref)[:ko],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_attach_rows_no_drops_on_skewed_data(rng):
+    """attach_rows must never drop in-slab matches: every hit row of the
+    exact searchsorted rulebook appears in rows_stack (column-relative,
+    within its column's nv window)."""
+    st = make_skewed_st(rng, 2048, (9, 40, 44), 8)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    plan = mc.attach_rows(st.keys, plan, interpret=True, col_w=128)
+    rows_ref = np.asarray(mc._rows_from_plan(st.keys, plan)).T  # [K_pad, Ta]
+    n_tiles, tile, ta = plan.n_tiles, plan.tile, plan.num_taps
+    rs = np.asarray(plan.rows_stack).reshape(n_tiles, 8, ta, tile)[:, 0]
+    want = rows_ref.reshape(n_tiles, tile, ta).transpose(0, 2, 1)
+    cb = np.asarray(plan.col_base)                       # [ncol, n_tiles]
+    rel = rs.reshape(n_tiles, ta * tile // 128, 128)
+    hit = want.reshape(n_tiles, -1, 128) >= 0
+    np.testing.assert_array_equal(
+        np.where(hit, rel + cb.T[:, :, None], -1),
+        np.where(hit, want.reshape(n_tiles, -1, 128), -1),
+        err_msg='attach_rows dropped or mispositioned an in-slab match')

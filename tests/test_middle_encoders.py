@@ -103,3 +103,67 @@ def test_hard_simple_vfe(rng):
     expected = np.asarray(voxels).sum(1) / np.maximum(
         np.asarray(num_points), 1)[:, None]
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def _gma_inputs(rng, k3=96, k2=64, cap3=128, cap2=96, grid=(9, 16, 16)):
+    from msmdfusion_tpu.ops.sparse.tensor import make_sparse_tensor
+    f3, c3, v3 = make_voxels(rng, n_valid=k3, cap=cap3, grid=grid, batch=1,
+                             cin=8)
+    st3 = make_sparse_tensor(f3, c3, v3, grid, 1)
+    # 2D voxels: half share coordinates with 3D voxels (mixed), half fresh
+    c3v = np.asarray(st3.coords)[np.asarray(st3.valid)]
+    mixed = c3v[rng.choice(len(c3v), min(len(c3v) // 2, k2 // 2),
+                           replace=False)]
+    fresh = np.stack([
+        np.zeros(k2 - len(mixed), np.int64),
+        rng.randint(0, grid[0], k2 - len(mixed)),
+        rng.randint(0, grid[1], k2 - len(mixed)),
+        rng.randint(0, grid[2], k2 - len(mixed))], 1)
+    co = np.unique(np.concatenate([mixed, fresh]), axis=0)
+    n = len(co)
+    co = np.concatenate([co, -np.ones((cap2 - n, 4), np.int64)])
+    va = np.arange(cap2) < n
+    f2 = rng.randn(cap2, 8).astype(np.float32) * va[:, None]
+    st2 = make_sparse_tensor(jnp.asarray(f2), jnp.asarray(co),
+                             jnp.asarray(va), grid, 1)
+    return st3, st2
+
+
+def test_gma_union_capacity_equivalence(rng):
+    """A union cap >= the union occupancy must not change the GMA output;
+    a cap below it must fire the sparse.make.capacity[gma_union_*] counter
+    (the self-evidence the bench relies on for capacity sizing)."""
+    from msmdfusion_tpu.models.middle_encoders.gma_encoder import (
+        SparseMultiModalEncoderPaint, modality_split)
+    from msmdfusion_tpu.utils import overflow
+
+    st3, st2 = _gma_inputs(rng)
+    split = modality_split(st3, st2)
+    occ = int(np.asarray(st3.valid).sum()
+              + np.asarray(split['only_2d']).sum())
+
+    def run(union_caps):
+        enc = SparseMultiModalEncoderPaint(
+            in_channels_3D=(8,), in_channels_2D=(8,), out_channels=(8,),
+            padding=(1,), down_kernel_size=(3,), down_stride=(2,),
+            stage_capacities=(64,), union_capacities=union_caps)
+        args = ([st3], [st2], [16], [6.0], [32], [13.3])
+        variables = enc.init(jax.random.PRNGKey(0), *args)
+        return enc.apply(variables, *args)
+
+    base = run(None)[0]
+    with overflow.capture() as cap:
+        tight = run((occ,))[0]
+    counts = {k: int(v) for k, v in cap.counters().items()}
+    assert counts.get('sparse.make.capacity[gma_union_0]', 0) == 0
+    np.testing.assert_allclose(np.asarray(tight.features),
+                               np.asarray(base.features)[:occ],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tight.keys),
+                                  np.asarray(base.keys)[:occ])
+
+    with overflow.capture() as cap:
+        run((occ - 8,))
+    counts = {k: int(v) for k, v in cap.counters().items()}
+    # init + apply each execute the union build once -> 8 drops twice
+    assert counts.get('sparse.make.capacity[gma_union_0]', 0) == 16
