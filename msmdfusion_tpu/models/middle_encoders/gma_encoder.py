@@ -25,6 +25,7 @@ mmdet3d/models/middle_encoders/sparse_multimodal_encoder_painting.py:99-459
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -101,6 +102,23 @@ def approx_nn_3d(query_coords, query_valid, key_coords, key_valid,
     return jnp.where(assigned, nn_row[safe_rep], -1)
 
 
+def exact_nn_3d(query_coords, query_valid, key_coords, key_valid,
+                dist_thresh: float):
+    """Exact nearest-3D-voxel oracle (what the reference's FPS+ball-query
+    pipeline approximates): the true NN key within ``dist_thresh``.
+
+    Ablation/test path — selected with ``MSMD_GMA_NN=exact`` so the
+    detection-level A/B (tests/test_gma_detection_ab.py) can measure the
+    box-output delta of the approximation against the exact assignment.
+    """
+    q = query_coords[:, 1:].astype(jnp.float32)
+    k = key_coords[:, 1:].astype(jnp.float32)
+    nn_row, nn_d2 = masked_nn(q, query_coords[:, 0], k, key_coords[:, 0],
+                              key_valid)
+    ok = query_valid & (nn_row >= 0) & (jnp.sqrt(nn_d2) < dist_thresh)
+    return jnp.where(ok, nn_row, -1)
+
+
 @MIDDLE_ENCODERS.register('SparseMultiModalEncoderPaint')
 class SparseMultiModalEncoderPaint(nn.Module):
     in_channels_3D: Sequence[int] = (16, 32, 64, 128)
@@ -144,9 +162,15 @@ class SparseMultiModalEncoderPaint(nn.Module):
             c2 = self.in_channels_2D[i]
 
             # ---- orphan 2D gating via approximate NN 3D voxel ----
-            nn_row = approx_nn_3d(v2.coords, split['only_2d'], v3.coords,
-                                  v3.valid, fps_num_list[i], radius_list[i],
-                                  dist_thresh_list[i])
+            # MSMD_GMA_NN=exact swaps in the exact-NN oracle (trace-time
+            # switch; used by the detection-level A/B test)
+            if os.environ.get('MSMD_GMA_NN', 'approx') == 'exact':
+                nn_row = exact_nn_3d(v2.coords, split['only_2d'], v3.coords,
+                                     v3.valid, dist_thresh_list[i])
+            else:
+                nn_row = approx_nn_3d(v2.coords, split['only_2d'], v3.coords,
+                                      v3.valid, fps_num_list[i],
+                                      radius_list[i], dist_thresh_list[i])
             cross_gate = MLP((c2,), final_act=True,
                              name=f'cross_gate_{i}')
             # dummy embedding row for unassigned orphans (reference uses a
@@ -154,6 +178,16 @@ class SparseMultiModalEncoderPaint(nn.Module):
             # deterministic equivalent)
             dummy = self.param(f'dummy_embedding_{i}',
                                nn.initializers.uniform(1.0), (c3,))
+            # MSMD_GMA_DUMMY=random:<seed> replaces the learned row with a
+            # fresh uniform sample (the reference draws one per step,
+            # sparse_multimodal_encoder_painting.py:372) — ablation knob
+            # for the detection-level A/B; the param itself always exists
+            # so checkpoints are unaffected.
+            dummy_env = os.environ.get('MSMD_GMA_DUMMY', 'learned')
+            if dummy_env.startswith('random'):
+                seed = int(dummy_env.split(':')[1]) if ':' in dummy_env else 0
+                dummy = jax.random.uniform(
+                    jax.random.PRNGKey(seed * 8 + i), (c3,))
             nn_feat = jnp.where(
                 (nn_row >= 0)[:, None],
                 jnp.take(v3.features, jnp.maximum(nn_row, 0), axis=0),
@@ -227,8 +261,15 @@ class SparseMultiModalEncoderPaint(nn.Module):
                 name=f'aggregation_{i}')(unified, cache, train=train)
 
             if i > 0:
-                unified = sparse_add(unified, stage_outs[i - 1],
-                                     capacity=unified.capacity)
+                # the cross-stage sum's key set is measured (gauges) to
+                # coincide with the previous downscale OUTPUT set — the
+                # strided-conv dilation of stage i-1's union covers stage
+                # i's union keys — so the previous stage's capacity, not
+                # the (smaller) union capacity, is the honest output size
+                prev = stage_outs[i - 1]
+                unified = sparse_add(unified, prev,
+                                     capacity=max(unified.capacity,
+                                                  prev.capacity))
                 cache = {}
             out_cap = (self.stage_capacities[i]
                        if self.stage_capacities is not None else None)

@@ -982,6 +982,16 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
         mx = jnp.max(jnp.where(hit, rcol, jnp.int32(-1)), axis=2)
         span = jnp.where(mx >= 0, mx - base + 1, 0)       # [n_tiles, ncol]
         overflow.gauge(f'need.col_w{tag}', jnp.max(span))
+        # distribution gauges (col_w tuning): live-column mean needed
+        # vregs and the count spilling past the static window into the
+        # kernel's per-column tail loop
+        live_col = span > 0
+        nv_all = (span + 127) // 128
+        overflow.gauge(f'need.col_nv_sum{tag}',
+                       jnp.sum(jnp.where(live_col, nv_all, 0)))
+        overflow.gauge(f'need.col_live{tag}', jnp.sum(live_col))
+        overflow.gauge(f'need.col_tail{tag}',
+                       jnp.sum(nv_all > (col_w // 128)))
         nv = ((span + 127) // 128).T.astype(jnp.int32)    # [ncol, n_tiles]
         rs = jnp.where(hit & ~dropped, rel,
                        np.int32(COL_MISS)).reshape(n_tiles, ta * tile)
@@ -1033,18 +1043,24 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
     if packed:
         # bf16 channel pairs packed into f32 lanes: channel 2c in the low
         # 16 bits, 2c+1 in the high — the in-kernel pltpu.bitcast unpacks
-        # back to natural channel order (verified by probe)
-        fb = jnp.zeros((cin_pad, k_pad), jnp.bfloat16)
-        fb = fb.at[:cin, :k_in].set(feats.astype(jnp.bfloat16).T)
-        u16 = jax.lax.bitcast_convert_type(
-            fb.reshape(cin_pad // 2, 2, k_pad), jnp.uint16
-        ).astype(jnp.uint32)
-        packed_u32 = u16[:, 0, :] | (u16[:, 1, :] << 16)
-        feats_t = jax.lax.bitcast_convert_type(packed_u32, jnp.float32)
+        # back to natural channel order (verified by probe).
+        # Pack along C in ROW-MAJOR first (one narrow fused pass), then
+        # transpose/pad the HALVED [K, cin/2] array: the old
+        # zeros.at[...].set(feats.T) chain materialized ~4 full passes
+        # over the [cin_pad, k_pad] layout (~4-5 ms per stage-0-scale
+        # conv, the top glue cost in the round-4 trace)
+        if cin % 2:
+            feats = jnp.pad(feats, ((0, 0), (0, 1)))
+        fb = feats.astype(jnp.bfloat16).reshape(k_in, -1, 2)
+        u16 = jax.lax.bitcast_convert_type(fb, jnp.uint16)
+        u32 = jax.lax.bitcast_convert_type(u16, jnp.uint32)   # [K, cin/2]
+        half = jax.lax.bitcast_convert_type(u32, jnp.float32).T
+        feats_t = jnp.pad(half, ((0, cin_pad // 2 - half.shape[0]),
+                                 (0, k_pad - k_in)))
         slab_rows = cin_pad // 2
     else:
-        feats_t = jnp.zeros((cin_pad, k_pad), jnp.float32)
-        feats_t = feats_t.at[:cin, :k_in].set(feats.astype(jnp.float32).T)
+        feats_t = jnp.pad(feats.astype(jnp.float32).T,
+                          ((0, cin_pad - cin), (0, k_pad - k_in)))
         slab_rows = cin_pad
     w32 = jnp.zeros((ta, cin_pad, cout), jnp.float32).at[:, :cin, :].set(
         weights.astype(jnp.float32))

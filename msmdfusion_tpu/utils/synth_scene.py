@@ -119,17 +119,31 @@ def lidar_scene(rng: np.random.RandomState, n_points: int,
     lidar_z = 1.8
     chunks = []
 
-    # ground rings: 20 downward beams x ~1000 azimuths x sweeps (jittered)
+    # ground rings: 20 downward beams x ~1000 azimuths x `sweeps` sweeps.
+    # Physical range noise is ~2 cm (NOT proportional to range: the
+    # round-3 3%-of-r scatter smeared far rings over +-1 m of isolated
+    # voxels). Sweep accumulation follows real nuScenes: the ego moves
+    # between 20 Hz sweeps, so older rings land shifted by v*dt in the
+    # current frame — thin, surface-coherent annuli, like real data.
     elevs = np.deg2rad(np.linspace(-29.0, -2.0, 20))
     n_az = max(int(n_points * 0.55 / (len(elevs) * sweeps)), 8)
+    ego_v = rng.uniform(0.0, 9.0)                    # m/s
+    ego_dir = rng.uniform(0, 2 * np.pi)
+    ego_step = ego_v * 0.05 * np.array([np.cos(ego_dir), np.sin(ego_dir)])
+    # smooth low-order terrain: radius and height modulation per azimuth
+    t_amp = rng.uniform(0.0, 0.04)
+    t_ph = rng.uniform(0, 2 * np.pi, 3)
     for phi in elevs:
         r = min(lidar_z / np.tan(-phi), max_r * 1.2)
-        for _ in range(sweeps):
+        for s in range(sweeps):
             theta = (np.arange(n_az) / n_az) * 2 * np.pi \
                 + rng.uniform(0, 2 * np.pi / n_az)
-            rr = r + rng.normal(0, 0.03 * r, n_az)
+            terrain = (1.0 + t_amp * np.sin(3 * theta + t_ph[0])
+                       + 0.5 * t_amp * np.sin(7 * theta + t_ph[1]))
+            rr = r * terrain + rng.normal(0, 0.02, n_az)
+            org = -s * ego_step                      # sweep-s ego position
             chunks.append(np.stack([
-                rr * np.cos(theta), rr * np.sin(theta),
+                org[0] + rr * np.cos(theta), org[1] + rr * np.sin(theta),
                 np.full(n_az, -lidar_z) + rng.normal(0, 0.02, n_az)], 1))
 
     # walls: vertical planes, return count ~ area / d^2
