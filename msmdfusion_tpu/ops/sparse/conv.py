@@ -316,19 +316,20 @@ def downsample_out_coords(st: SparseTensor, kernel_size, stride, padding,
     cz, cy, cx = vz.shape[1], vy.shape[1], vx.shape[1]
     k_in = st.capacity
     b = st.coords[:, 0]
-    # cartesian product of axis candidates -> [K_in, cz, cy, cx]; the key is
-    # computed ARITHMETICALLY from the axis parts (materializing a
-    # [K*t, 4] coord array + pack_keys cost ~40ms/iter at full scale — one
-    # fused int expression over [K, t] is a few elementwise passes)
-    ozz = vz[:, :, None, None]
-    oyy = vy[:, None, :, None]
-    oxx = vx[:, None, None, :]
-    mask = (mz[:, :, None, None] & my[:, None, :, None]
-            & mx[:, None, None, :]) & st.valid[:, None, None, None]
-    cand_keys = jnp.where(
-        mask,
-        ((b[:, None, None, None] * oz + ozz) * oy + oyy) * ox + oxx,
-        INT_MAX).reshape(-1).astype(jnp.int32)
+    # cartesian product of axis candidates, built TAPS-MAJOR as [T, K_in]:
+    # the key is computed ARITHMETICALLY from the axis parts (a [K*t, 4]
+    # coord array + pack_keys cost ~40ms/iter at full scale), and the tap
+    # dimension lives on SUBLANES with K_in on lanes — the previous
+    # [K, cz, cy, cx] layout tiled T(2,128), wasting 64x of the fusion's
+    # HBM writes on lane padding (~1-2 ms per instance, 7 instances/iter)
+    rows = []
+    for t in range(cz * cy * cx):
+        iz, rem = divmod(t, cy * cx)
+        iy, ix = divmod(rem, cx)
+        okr = mz[:, iz] & my[:, iy] & mx[:, ix] & st.valid
+        keyr = ((b * oz + vz[:, iz]) * oy + vy[:, iy]) * ox + vx[:, ix]
+        rows.append(jnp.where(okr, keyr, INT_MAX))
+    cand_keys = jnp.stack(rows).reshape(-1).astype(jnp.int32)
 
     # jnp.sort defaults to stable=True, which lowers to a 2-operand
     # (key, iota) sort on TPU — the iota payload doubles the sort traffic

@@ -137,10 +137,15 @@ class MatchPlan:
     stacked [kx*T, G] VMEM block pads its 3 lanes to 128 (+2.1MB scoped
     vmem double-buffered, enough to OOM the C=128 conv).
     """
-    queries: jax.Array       # [K_out_pad, Ta] int32, monotone per column
+    # queries/qs are LAZY for affine plans (query = okey + dkey[t]): the
+    # [K, Ta] materialization plus its group-stacked transpose cost
+    # ~3-5 ms/plan of lane-padded HBM traffic at full scale, and the
+    # vgather+windowed-rows hot path never reads them — only the one-hot /
+    # CPU fallbacks do, via _plan_queries/_plan_qs.
+    queries: Optional[jax.Array]  # [K_out_pad, Ta] int32, monotone per col
     inb: jax.Array           # [K_out_pad, Ta] bool — tap in-bounds & valid
     starts: jax.Array        # [Ta, n_tiles + 1] int32 slab brackets
-    qs: jax.Array            # [n_tiles*kx*tile, G] int32 stacked queries
+    qs: Optional[jax.Array]  # [n_tiles*kx*tile, G] int32 stacked queries
     inb32: jax.Array         # [K_out_pad, Ta] int32 (the kernel block)
     kx: int = dataclasses.field(metadata=dict(static=True))   # taps / group
     k_out: int = dataclasses.field(metadata=dict(static=True))  # un-padded
@@ -162,49 +167,116 @@ class MatchPlan:
     # the kernel up to this bound — realistic scenes have density skew that
     # makes a handful of columns span the whole slab while 99%+ fit col_w
     col_nv: Optional[jax.Array] = None    # [Ta*tile/128, n_tiles] i32
+    # per-(tap-GROUP, tile) max of col_nv: bound of the group-hoisted tail
+    # loop in the kernels (one data-dependent loop per group, not per
+    # column — scalar branches cost ~75 cycles each even at 0 trips)
+    col_nvt: Optional[jax.Array] = None   # [groups, n_tiles] i32
+    # per-(tap, 128-row column) slab ranks from the SAME double-sort that
+    # produces `starts`: rank of every 128th query among the input keys.
+    # Lower-bounds the first matched row of each output column and (shifted
+    # by one column) upper-bounds its last — so attach_rows derives the
+    # col_base/col_nv gather windows ARITHMETICALLY instead of reducing
+    # over the materialized rulebook rows, and the rows kernel can match
+    # inside per-column windows instead of scanning the whole slab bracket
+    starts128: Optional[jax.Array] = None  # [Ta, K_pad/128 + 1] i32
+    # affine-plan form: query[r, t] = okeys[r] + dkey[t] for valid rows
+    # (okeys INT_MAX-padded; wrapped INT_MAX+dkey queries never match a
+    # real key and sentinel self-matches are masked by inb)
+    okeys: Optional[jax.Array] = None      # [K_out_pad] i32
+    dkey: Optional[Tuple[int, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def num_taps(self) -> int:
-        return self.queries.shape[1]
+        return self.inb.shape[1]
 
     @property
     def n_tiles(self) -> int:
-        return self.queries.shape[0] // self.tile
+        return self.inb.shape[0] // self.tile
+
+
+def _plan_queries(plan: MatchPlan) -> jax.Array:
+    """Dense [K_out_pad, Ta] queries (materialize the affine form)."""
+    if plan.queries is not None:
+        return plan.queries
+    ok = plan.okeys != INT_MAX
+    q = plan.okeys[:, None] + jnp.asarray(plan.dkey, jnp.int32)[None, :]
+    return jnp.where(ok[:, None], q, INT_MAX)
+
+
+def _plan_qs(plan: MatchPlan) -> jax.Array:
+    """Group-stacked [n_tiles*kx*tile, G] queries for the one-hot kernels."""
+    if plan.qs is not None:
+        return plan.qs
+    q = _plan_queries(plan)
+    groups = plan.num_taps // plan.kx
+    return q.reshape(plan.n_tiles, plan.tile, groups, plan.kx).transpose(
+        0, 3, 1, 2).reshape(plan.n_tiles * plan.kx * plan.tile, groups)
+
+
+def _plan_live(plan: MatchPlan) -> jax.Array:
+    """[n_tiles] bool: tile has at least one valid output row."""
+    if plan.okeys is not None:
+        return plan.okeys[::plan.tile] != INT_MAX
+    return plan.queries[::plan.tile, 0] != INT_MAX
 
 
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-def build_plan(in_keys: jax.Array, query_keys: jax.Array, inb: jax.Array,
-               kx: int, tile: int = DEFAULT_TILE) -> MatchPlan:
+def build_plan(in_keys: jax.Array, query_keys: Optional[jax.Array],
+               inb: jax.Array, kx: int, tile: int = DEFAULT_TILE,
+               okeys: Optional[jax.Array] = None,
+               dkey=None) -> MatchPlan:
     """Assemble a MatchPlan from per-tap monotone query keys.
 
     Args:
         in_keys: [K_in] sorted packed keys (INT_MAX for invalid rows).
         query_keys: [K_out, Ta] int32; column t MUST be monotone
-            non-decreasing (invalid rows hold INT_MAX).
+            non-decreasing (invalid rows hold INT_MAX). None for an AFFINE
+            plan: queries are okeys + dkey[t] (never materialized — the
+            vgather hot path reads okeys directly; fallbacks rebuild via
+            _plan_queries).
         inb: [K_out, Ta] bool in-bounds-and-valid mask.
         kx: taps per x-group (consecutive taps whose queries differ by +1
             share one slab DMA); must divide Ta.
+        okeys: [K_out] i32 per-row base key (INT_MAX for invalid rows);
+            required when query_keys is None.
+        dkey: [Ta] static int offsets for the affine form.
     """
-    k_out, ta = query_keys.shape
+    k_out, ta = inb.shape
     assert ta % kx == 0
     k_pad = _round_up(max(k_out, tile), tile)
     if k_pad != k_out:
-        query_keys = jnp.concatenate(
-            [query_keys,
-             jnp.full((k_pad - k_out, ta), INT_MAX, jnp.int32)], axis=0)
+        if query_keys is not None:
+            query_keys = jnp.concatenate(
+                [query_keys,
+                 jnp.full((k_pad - k_out, ta), INT_MAX, jnp.int32)], axis=0)
         inb = jnp.concatenate(
             [inb, jnp.zeros((k_pad - k_out, ta), bool)], axis=0)
+        if okeys is not None:
+            okeys = jnp.concatenate(
+                [okeys, jnp.full((k_pad - k_out,), INT_MAX, jnp.int32)])
     n_tiles = k_pad // tile
-    # slab bracket starts: rank of each tile's first query per tap, plus a
-    # terminal K_in. The vmapped searchsorted lowered to a 22ms/iter while
+    assert tile % 128 == 0
+    n128 = k_pad // 128
+    # slab bracket starts: rank of each 128-row column's first query per
+    # tap, plus a terminal K_in; tile-granular starts are the ::(tile/128)
+    # subsample. The vmapped searchsorted lowered to a 22ms/iter while
     # loop at full scale; two stable sorts give the same side='left' ranks:
     # with queries placed BEFORE the keys, ties keep queries first, so
     # position-in-merged minus position-among-queries = #keys strictly < q.
-    firsts = query_keys[::tile, :]                       # [n_tiles, Ta]
-    q_flat = firsts.T.reshape(-1)                        # [Ta * n_tiles]
+    if query_keys is not None:
+        firsts = query_keys[::128, :]                    # [n128, Ta]
+    else:
+        # affine: saturate INT_MAX firsts instead of letting INT_MAX+dkey
+        # wrap — a wrapped-NEGATIVE first would rank 0 and zero out the
+        # PREVIOUS column's rank_next window bound, dropping its matches
+        ok_f = okeys[::128]
+        firsts = jnp.where(ok_f[:, None] == INT_MAX, INT_MAX,
+                           ok_f[:, None] + jnp.asarray(dkey, jnp.int32))
+    q_flat = firsts.T.reshape(-1)                        # [Ta * n128]
     nq = q_flat.shape[0]
     q_order = jnp.argsort(q_flat, stable=True)
     q_sorted = q_flat[q_order]
@@ -222,9 +294,11 @@ def build_plan(in_keys: jax.Array, query_keys: jax.Array, inb: jax.Array,
                         is_stable=False)[:nq]
     rank = qpos - jnp.arange(nq, dtype=jnp.int32)
     starts_flat = jnp.zeros((nq,), jnp.int32).at[q_order].set(rank)
-    starts = starts_flat.reshape(ta, n_tiles)
+    term = jnp.full((ta, 1), in_keys.shape[0], jnp.int32)
+    starts128 = jnp.concatenate(
+        [starts_flat.reshape(ta, n128), term], axis=1)
     starts = jnp.concatenate(
-        [starts, jnp.full((ta, 1), in_keys.shape[0], jnp.int32)], axis=1)
+        [starts128[:, :n128:tile // 128], term], axis=1)
     groups = ta // kx
 
     def stack(a):
@@ -232,8 +306,11 @@ def build_plan(in_keys: jax.Array, query_keys: jax.Array, inb: jax.Array,
             0, 3, 1, 2).reshape(n_tiles * kx * tile, groups)
 
     return MatchPlan(queries=query_keys, inb=inb, starts=starts,
-                     qs=stack(query_keys), inb32=inb.astype(jnp.int32),
-                     kx=kx, k_out=k_out, tile=tile)
+                     qs=(None if query_keys is None else stack(query_keys)),
+                     inb32=inb.astype(jnp.int32),
+                     kx=kx, k_out=k_out, tile=tile, starts128=starts128,
+                     okeys=okeys,
+                     dkey=(None if dkey is None else tuple(dkey)))
 
 
 def _offsets_zyx(kernel_size) -> np.ndarray:
@@ -283,14 +360,13 @@ def build_subm_plan(st: SparseTensor, kernel_size,
     okx = axis_ok(st.coords[:, 3], int(kx_), x)
     inb = (okz[:, :, None, None] & oky[:, None, :, None]
            & okx[:, None, None, :]).reshape(k, -1) & st.valid[:, None]
-    queries = jnp.where(st.valid[:, None],
-                        st.keys[:, None] + jnp.asarray(dkey)[None, :],
-                        INT_MAX).astype(jnp.int32)
     # one slab group per dz plane: the +-dy key shifts are one y-line
     # (~x keys) which holds only a handful of ROWS at lidar densities, so
     # the 9 (dy, dx) taps share a slab with a near-unchanged bracket span
-    # while issuing 3x fewer DMAs
-    return build_plan(st.keys, queries, inb, _group_taps(kernel_size), tile)
+    # while issuing 3x fewer DMAs. AFFINE plan: queries = keys + dkey[t],
+    # never materialized (invalid rows' wrapped queries are inb-masked).
+    return build_plan(st.keys, None, inb, _group_taps(kernel_size), tile,
+                      okeys=st.keys, dkey=tuple(int(v) for v in dkey))
 
 
 def build_downsample_plan(st: SparseTensor, out_coords, out_valid,
@@ -328,10 +404,9 @@ def build_downsample_plan(st: SparseTensor, out_coords, out_valid,
     base_key = (out_coords[:, 0] * z + base[:, 0]) * y * x + \
         base[:, 1] * x + base[:, 2]
     dkey = taps[:, 0] * (y * x) + taps[:, 1] * x + taps[:, 2]
-    queries = jnp.where(out_valid[:, None],
-                        base_key[:, None] + jnp.asarray(dkey)[None, :],
-                        INT_MAX).astype(jnp.int32)
-    return build_plan(st.keys, queries, inb, int(ky) * int(kx), tile)
+    okeys = jnp.where(out_valid, base_key, INT_MAX).astype(jnp.int32)
+    return build_plan(st.keys, None, inb, int(ky) * int(kx), tile,
+                      okeys=okeys, dkey=tuple(int(v) for v in dkey))
 
 
 def build_inverse_plan(st: SparseTensor, orig_coords, orig_valid,
@@ -380,7 +455,7 @@ def _record_slab_overflow(plan: MatchPlan, slab: int, site: str) -> None:
     g0 = jnp.arange(0, ta, plan.kx)
     lo = plan.starts[g0, :-1]                       # [G, n_tiles]
     hi = plan.starts[g0 + plan.kx - 1, 1:]
-    live = plan.queries[::plan.tile, 0] != INT_MAX  # [n_tiles]
+    live = _plan_live(plan)                         # [n_tiles]
     over = jnp.maximum(hi - lo - slab, 0)
     overflow.record(site, jnp.sum(jnp.where(live[None, :], over, 0)))
 
@@ -396,7 +471,7 @@ def plan_slab_spans(plan: MatchPlan) -> jax.Array:
     g0 = jnp.arange(0, ta, plan.kx)
     lo = plan.starts[g0, :-1]                      # [G, n_tiles]
     hi = plan.starts[g0 + plan.kx - 1, 1:]
-    live = plan.queries[::plan.tile, 0] != INT_MAX  # [n_tiles]
+    live = _plan_live(plan)                         # [n_tiles]
     return jnp.max(jnp.where(live[None, :], hi - lo, 0))
 
 
@@ -420,7 +495,7 @@ def _split_hi_lo(x32: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def _rows_from_plan(in_keys: jax.Array, plan: MatchPlan) -> jax.Array:
     """Exact match rows [Ta, K_out_pad] (-1 = missing) via searchsorted."""
-    q = plan.queries
+    q = _plan_queries(plan)
     pos = jnp.searchsorted(in_keys, q.reshape(-1)).reshape(q.shape)
     pos = jnp.minimum(pos, in_keys.shape[0] - 1)
     hit = (in_keys[pos] == q) & plan.inb & (q != INT_MAX)
@@ -601,7 +676,7 @@ def _epilogue_args(plan: MatchPlan, cout: int, scale, shift, out_valid):
         else scale.astype(jnp.float32),
         jnp.zeros((cout,), jnp.float32) if shift is None
         else shift.astype(jnp.float32)])
-    k_pad = plan.queries.shape[0]
+    k_pad = plan.inb.shape[0]
     ov = jnp.zeros((k_pad, 1), jnp.int32)
     if out_valid is not None:
         ov = ov.at[:out_valid.shape[0], 0].set(out_valid.astype(jnp.int32))
@@ -683,7 +758,7 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
     # concatenating kx lane-offset column slices (which costs a VPU copy
     # per chunk and is unsupported by Mosaic's concat anyway)
     kx = plan.kx
-    q_stacked = plan.qs
+    q_stacked = _plan_qs(plan)
     inb_arg = plan.inb32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -755,7 +830,7 @@ def _vgather_kernel(starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
                     cin: int, cout: int, slab: int, tile: int, cw: int,
                     col_w: int = 0, gemm: str = 'highest',
                     packed: bool = False, fuse_affine: bool = False,
-                    relu: bool = False):
+                    relu: bool = False, tail: str = 'loop'):
     """One output tile: bracket slab DMAs, butterfly row gather, GEMM.
 
     packed=True: the slab holds bf16 channel PAIRS bitcast into f32 lanes
@@ -805,7 +880,10 @@ def _vgather_kernel(starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
             span = kx * tile
 
             if col_w:
+                # fast pass: every column gathers its static col_w window;
+                # per-column (off, lane, vreg) retained for the tail pass
                 cols = []
+                infos = []
                 for lc in range(span // 128):
                     c_ix = g * (span // 128) + lc
                     off = pl.multiple_of(cb_ref[c_ix, i] - r0a, 128)
@@ -820,25 +898,62 @@ def _vgather_kernel(starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
                         piece = fcol[:, v * 128:(v + 1) * 128]
                         gg = jnp.take_along_axis(piece, lane, axis=1)
                         colc = jnp.where(vreg == v, gg, colc)
-                    # tail: the rare columns whose matched rows span past
-                    # the fast window (zero iterations otherwise)
-                    nv_c = nv_ref[c_ix, i]
-
-                    def vtail(v, acc, _slot=slot, _off=off, _lane=lane,
-                              _vreg=vreg):
-                        p = fslab[_slot, :,
-                                  pl.ds(pl.multiple_of(_off + v * 128, 128),
-                                        128)]
-                        gg = jnp.take_along_axis(p, _lane, axis=1)
-                        return jnp.where(_vreg == v, gg, acc)
-
-                    colc = jax.lax.fori_loop(
-                        col_w // 128, jnp.maximum(nv_c, col_w // 128),
-                        vtail, colc)
-                    if packed:
-                        colc = pltpu.bitcast(colc, jnp.bfloat16)
                     cols.append(colc)
-                g_here = jnp.concatenate(cols, axis=1)
+                    infos.append((off, lane, vreg))
+                g32 = jnp.concatenate(cols, axis=1)       # [crows, span] f32
+                # tail: columns whose matches span past the fast window
+                # (density skew). ONE data-dependent fori per GROUP, not per
+                # column: a 0-trip per-column fori/cond still costs ~75
+                # cycles of scalar branch latency x 54 columns/tile
+                # (measured: per-column tail 5.7 ms vs none 3.1 ms at
+                # stage-0 C16; a lax.cond guard saved nothing). The group
+                # bound nvt is the max needed-vreg count over its columns;
+                # clean tiles run zero trips. MSMD_CONV_TAILMODE: 'group'
+                # (default), 'loop' (legacy per-column), 'off' (INEXACT —
+                # perf probing only).
+                if tail == 'loop':
+                    parts_l = []
+                    for lc in range(span // 128):
+                        off, lane, vreg = infos[lc]
+                        nv_c = nv_ref[g * (span // 128) + lc, i]
+
+                        def vtail(v, acc, _slot=slot, _off=off, _lane=lane,
+                                  _vreg=vreg):
+                            p = fslab[_slot, :,
+                                      pl.ds(pl.multiple_of(
+                                          _off + v * 128, 128), 128)]
+                            gg = jnp.take_along_axis(p, _lane, axis=1)
+                            return jnp.where(_vreg == v, gg, acc)
+
+                        parts_l.append(jax.lax.fori_loop(
+                            col_w // 128, jnp.maximum(nv_c, col_w // 128),
+                            vtail, cols[lc]))
+                    g32 = jnp.concatenate(parts_l, axis=1)
+                elif tail != 'off':
+                    nvt_g = nv_ref[g, i]                  # per-group max
+
+                    # carry the per-column pieces as a TUPLE (value-level
+                    # dynamic_slice is unsupported by Mosaic — static
+                    # python indexing into the carried tuple instead)
+                    def ttrip(v, cols_, _slot=slot, _infos=infos):
+                        out = []
+                        for lc in range(span // 128):
+                            off, lane, vreg = _infos[lc]
+                            # slices beyond a narrow column's own span can
+                            # never select (vreg==v unmatched there), but
+                            # must stay inside the slab scratch
+                            po = jnp.minimum(off + v * 128, slab - 128)
+                            p = fslab[_slot, :,
+                                      pl.ds(pl.multiple_of(po, 128), 128)]
+                            gg = jnp.take_along_axis(p, lane, axis=1)
+                            out.append(jnp.where(vreg == v, gg, cols_[lc]))
+                        return tuple(out)
+
+                    cols = jax.lax.fori_loop(
+                        col_w // 128, jnp.maximum(nvt_g, col_w // 128),
+                        ttrip, tuple(cols))
+                    g32 = jnp.concatenate(cols, axis=1)
+                g_here = pltpu.bitcast(g32, jnp.bfloat16) if packed else g32
             else:
                 r_end = starts_ref[g * kx + kx - 1, i + 1]
                 nch = jnp.clip((r_end - r0a + cw - 1) // cw, 0, slab // cw)
@@ -944,64 +1059,89 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
     if col_w is None:
         col_w = DEFAULT_COL_W
     col_w = min(col_w, slab)
-    rows = plan_rows(in_keys, plan, slab=slab, cw=cw,
-                     interpret=interpret)                 # [K_out_pad, Ta]
     n_tiles, tile, ta, kx = plan.n_tiles, plan.tile, plan.num_taps, plan.kx
     groups = ta // kx
-    rs = rows.reshape(n_tiles, tile, groups, kx)
-    rs = rs.transpose(0, 2, 3, 1).reshape(n_tiles, ta * tile)
-    cb = nv = None
+    ncol = ta * tile // 128
+    tpc = tile // 128
+    base = nv_col = None
     if col_w:
-        # per 128-lane column: base = floor(min matched row / 128) * 128,
-        # clamped so [base, base + col_w) stays inside the group's slab
-        # window [r0a, r0a + slab)
-        ncol = ta * tile // 128
-        rcol = rs.reshape(n_tiles, ncol, 128)
-        hit = rcol >= 0
-        mn = jnp.min(jnp.where(hit, rcol, np.int32(INT_MAX)), axis=2)
-        base = (mn // 128) * 128                          # [n_tiles, ncol]
         # group slab start for each column (column c belongs to group
         # c // (kx * tile // 128)); starts is [Ta, n_tiles + 1]
         cpg = kx * tile // 128
         g0 = (jnp.arange(ncol, dtype=jnp.int32) // cpg) * kx
         r0a = (plan.starts[g0, :-1].T // 128) * 128       # [n_tiles, ncol]
-        base = jnp.clip(base, r0a, r0a + slab - col_w)
-        rel = rcol - base[:, :, None]
-        # plan_rows only ever matches inside the slab window, so every hit
-        # satisfies 0 <= rel < slab - (base - r0a): no drops are possible —
-        # columns wider than col_w spill into the kernel's per-column tail
-        # loop (col_nv). The counter proves the invariant at runtime.
-        avail = (r0a + slab - base)[:, :, None]
-        dropped = hit & ((rel < 0) | (rel >= avail))
+        if plan.starts128 is not None:
+            # window bounds ARITHMETICALLY from the fine slab ranks: the
+            # rank of a column's first query lower-bounds its first matched
+            # row; the next column's first-query rank upper-bounds its last
+            # (a matched key for q < q_next has index < rank(q_next)). No
+            # reductions over the materialized rows needed.
+            n128 = plan.starts128.shape[1] - 1
+            rank_first = plan.starts128[:, :n128].reshape(
+                ta, n_tiles, tpc).transpose(1, 0, 2).reshape(n_tiles, ncol)
+            rank_next = plan.starts128[:, 1:].reshape(
+                ta, n_tiles, tpc).transpose(1, 0, 2).reshape(n_tiles, ncol)
+            base = jnp.clip((rank_first // 128) * 128, r0a,
+                            r0a + slab - col_w)           # [n_tiles, ncol]
+            hi = jnp.minimum(rank_next, r0a + slab)
+            nv_col = jnp.maximum((hi - base + 127) // 128, 0)
+    if (base is not None and plan.okeys is not None
+            and (use_pallas() or interpret) and tile % 128 == 0):
+        # windowed rows kernel: each column matches inside its own window
+        # instead of scanning the whole bracket (~5x less compare work)
+        nvt_w = nv_col.reshape(n_tiles, groups, cpg).max(axis=2)
+        rows = _win_plan_rows(in_keys, plan, base.T.astype(jnp.int32),
+                              nvt_w.T.astype(jnp.int32), col_w, slab=slab,
+                              interpret=interpret)
+    else:
+        rows = plan_rows(in_keys, plan, slab=slab, cw=cw,
+                         interpret=interpret)             # [K_out_pad, Ta]
+    rs = rows.reshape(n_tiles, tile, groups, kx)
+    rs = rs.transpose(0, 2, 3, 1).reshape(n_tiles, ta * tile)
+    cb = nv = None
+    if col_w:
+        rcol = rs.reshape(n_tiles, ncol, 128)
+        hit = rcol >= 0
         from ...utils import overflow
         tag = f'[{site}]' if site else ''
+        if base is None:
+            # legacy: base = floor(min matched row / 128) * 128, clamped so
+            # [base, base + col_w) stays inside the slab window
+            mn = jnp.min(jnp.where(hit, rcol, np.int32(INT_MAX)), axis=2)
+            base = jnp.clip((mn // 128) * 128, r0a, r0a + slab - col_w)
+            mx = jnp.max(jnp.where(hit, rcol, jnp.int32(-1)), axis=2)
+            span = jnp.where(mx >= 0, mx - base + 1, 0)   # [n_tiles, ncol]
+            nv_col = (span + 127) // 128
+        rel = rcol - base[:, :, None]
+        # plan_rows only ever matches inside the slab window and nv_col
+        # bounds every matched row (see above), so no drops are possible —
+        # columns wider than col_w spill into the kernel's per-column tail
+        # loop (col_nv). The counter proves the invariant at runtime.
+        dropped = hit & ((rel < 0) | (rel >= nv_col[:, :, None] * 128))
         overflow.record(f'matchconv.col_w{tag}', jnp.sum(dropped))
-        # capacity planning: the window each column actually NEEDS (max
-        # matched row above its aligned base) — drives the static col_w
-        # fast-window choice; the tail loop covers the excess exactly
-        mx = jnp.max(jnp.where(hit, rcol, jnp.int32(-1)), axis=2)
-        span = jnp.where(mx >= 0, mx - base + 1, 0)       # [n_tiles, ncol]
-        overflow.gauge(f'need.col_w{tag}', jnp.max(span))
         # distribution gauges (col_w tuning): live-column mean needed
         # vregs and the count spilling past the static window into the
         # kernel's per-column tail loop
-        live_col = span > 0
-        nv_all = (span + 127) // 128
+        live_col = nv_col > 0
+        overflow.gauge(f'need.col_w{tag}', jnp.max(nv_col) * 128)
         overflow.gauge(f'need.col_nv_sum{tag}',
-                       jnp.sum(jnp.where(live_col, nv_all, 0)))
+                       jnp.sum(jnp.where(live_col, nv_col, 0)))
         overflow.gauge(f'need.col_live{tag}', jnp.sum(live_col))
         overflow.gauge(f'need.col_tail{tag}',
-                       jnp.sum(nv_all > (col_w // 128)))
-        nv = ((span + 127) // 128).T.astype(jnp.int32)    # [ncol, n_tiles]
+                       jnp.sum(nv_col > (col_w // 128)))
+        nv = nv_col.T.astype(jnp.int32)                   # [ncol, n_tiles]
+        nvt = nv_col.reshape(n_tiles, groups, cpg).max(axis=2)
+        nvt = nvt.T.astype(jnp.int32)                     # [groups, n_tiles]
         rs = jnp.where(hit & ~dropped, rel,
                        np.int32(COL_MISS)).reshape(n_tiles, ta * tile)
         cb = base.T.astype(jnp.int32)                     # [ncol, n_tiles]
     # 8 duplicated sublanes: pltpu.repeat needs a full sublane block
     rs = jnp.broadcast_to(rs[:, None, :], (n_tiles, 8, ta * tile))
     rs = rs.reshape(n_tiles * 8, ta * tile)
-    live = (plan.queries[::tile, 0] != INT_MAX).astype(jnp.int32)
+    live = _plan_live(plan).astype(jnp.int32)
     return dataclasses.replace(plan, rows_stack=rs, live32=live,
-                               col_base=cb, col_w=int(col_w), col_nv=nv)
+                               col_base=cb, col_w=int(col_w), col_nv=nv,
+                               col_nvt=(None if not col_w else nvt))
 
 
 def _vgather_vmem_bytes(cin_pad: int, cout: int, ta: int, tile: int,
@@ -1072,12 +1212,19 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
     col_w = min(col_w, slab)
     cb_arg = (plan.col_base if col_w
               else jnp.zeros((1, n_tiles), jnp.int32))
-    nv_arg = (plan.col_nv if col_w and plan.col_nv is not None
-              else jnp.zeros_like(cb_arg))
+    tail_mode = os.environ.get('MSMD_CONV_TAILMODE', 'group')
+    if tail_mode == 'group' and (not col_w or plan.col_nvt is None):
+        tail_mode = 'loop'
+    # 'group' mode binds the per-GROUP max vreg count; 'loop' the
+    # per-column counts (legacy)
+    nv_arg = (plan.col_nvt if tail_mode == 'group' else plan.col_nv)
+    if not col_w or nv_arg is None:
+        nv_arg = jnp.zeros_like(cb_arg)
     kernel = functools.partial(
         _vgather_kernel, taps=ta, kx=plan.kx, cin=cin_pad, cout=cout,
         slab=slab, tile=tile, cw=cw, col_w=col_w, gemm=gemm_mode(),
-        packed=packed, fuse_affine=fuse_affine, relu=relu)
+        packed=packed, fuse_affine=fuse_affine, relu=relu,
+        tail=tail_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_tiles,),
@@ -1309,6 +1456,142 @@ def _rows_kernel(starts_ref, q_ref, inb_ref, keys_hbm, out_ref, kslab,
                 out_ref[:, t:t + 1] = jnp.where(ok, rj - 1, -1)
 
 
+def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
+                     out_ref, kslab, sem_k, *, taps: int, kx: int,
+                     slab: int, tile: int, win: int, dkey):
+    """Windowed rows: match each 128-row output column inside its own
+    ~`win`-wide key window (cb/nv from the plan's fine slab ranks) instead
+    of scanning the whole tile bracket — the bracket scan compared every
+    query against ~(kx*tile + skew) keys, ~5x the work (the top single
+    cost category of the round-3 flagship trace, ~57 ms/frame).
+
+    The tail over wide columns is ONE data-dependent fori per tap GROUP
+    (bound nvt = group max needed vregs): per-column dynamic control flow
+    costs ~75 cycles even at zero trips (measured, see _vgather_kernel).
+    Tail windows beyond a column's own span add exactly zero: keys past
+    rank(next column's first query) exceed every query of this column.
+
+    Queries are AFFINE: q = ok_ref (output base keys, [tile, 1] block) +
+    static dkey[t] — the [K, Ta] query materialization and its stacked
+    transpose (~3-5 ms/plan of lane-padded HBM traffic) never happen.
+    Invalid rows hold INT_MAX: wrapped INT_MAX+dkey never equals a real
+    key, and sentinel self-matches are masked by inb."""
+    i = pl.program_id(0)
+    groups = taps // kx
+    tpc = tile // 128
+    live_tile = ok_ref[0, 0] != jnp.int32(INT_MAX)
+
+    @pl.when(jnp.logical_not(live_tile))
+    def _zero_tile():
+        out_ref[:] = jnp.full_like(out_ref, -1)
+
+    @pl.when(live_tile)
+    def _run_tile():
+        def slab_start(g):
+            r0 = starts_ref[g * kx, i]
+            return pl.multiple_of((r0 // 128) * 128, 128)
+
+        def dma(g, slot):
+            return pltpu.make_async_copy(
+                keys_hbm.at[:, pl.ds(slab_start(g), slab)],
+                kslab.at[slot], sem_k.at[slot])
+
+        dma(0, 0).start()
+        for g in range(groups):
+            slot = g % 2
+            if g + 1 < groups:
+                dma(g + 1, (g + 1) % 2).start()
+            dma(g, slot).wait()
+            r0a = slab_start(g)
+
+            def win_v(v, acc, qcol, cbr, _slot=slot, _r0a=r0a):
+                po = jnp.minimum(cbr + v * 128, slab - 128)
+                kw = kslab[_slot, :,
+                           pl.ds(pl.multiple_of(po, 128), 128)]
+                m = qcol == kw                            # [128, 128]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (128, 128), 1) \
+                    + (_r0a + po + 1)                     # +1: 0 = miss
+                contrib = jnp.sum(jnp.where(m, iota, 0), axis=1,
+                                  keepdims=True)
+                # a clamped slice would re-read already-counted keys:
+                # contribute only within the slab window
+                return acc + jnp.where(cbr + v * 128 <= slab - 128,
+                                       contrib, 0)
+
+            accs = []
+            cols = []
+            for j in range(kx):
+                for lc in range(tpc):
+                    t = g * kx + j
+                    c_ix = t * tpc + lc
+                    qcol = ok_ref[pl.ds(lc * 128, 128), 0:1] \
+                        + jnp.int32(dkey[t])              # [128, 1]
+                    cbr = pl.multiple_of(cb_ref[c_ix, i] - r0a, 128)
+                    acc = jnp.zeros((128, 1), jnp.int32)
+                    for v in range(win // 128):           # fast window
+                        acc = win_v(v, acc, qcol, cbr)
+                    accs.append(acc)
+                    cols.append((qcol, cbr))
+            nvt_g = nvt_ref[g, i]
+
+            # per-column accs carried as a TUPLE (value-level
+            # dynamic_slice is unsupported by Mosaic)
+            def ttrip(v, accs_, _cols=cols):
+                return tuple(
+                    win_v(v, acc, qcol, cbr)
+                    for acc, (qcol, cbr) in zip(accs_, _cols))
+
+            accs = jax.lax.fori_loop(
+                win // 128, jnp.maximum(nvt_g, win // 128), ttrip,
+                tuple(accs))
+            for j in range(kx):
+                for lc in range(tpc):
+                    t = g * kx + j
+                    acc = accs[j * tpc + lc]
+                    ok = (inb_ref[pl.ds(lc * 128, 128), t:t + 1] != 0) \
+                        & (acc > 0)
+                    out_ref[pl.ds(lc * 128, 128), t:t + 1] = jnp.where(
+                        ok, acc - 1, -1)
+
+
+def _win_plan_rows(in_keys: jax.Array, plan: MatchPlan, cb: jax.Array,
+                   nvt: jax.Array, win: int, slab: int = DEFAULT_SLAB,
+                   interpret: bool = False) -> jax.Array:
+    """[K_out_pad, Ta] matched rows via the windowed kernel."""
+    k_in = in_keys.shape[0]
+    tile, ta, kx = plan.tile, plan.num_taps, plan.kx
+    n_tiles = plan.n_tiles
+    k_pad = _round_up(k_in + slab, 128)
+    keys_p = jnp.concatenate(
+        [in_keys, jnp.full((k_pad - k_in,), INT_MAX, jnp.int32)]
+    ).reshape(1, k_pad)
+    kernel = functools.partial(_win_rows_kernel, taps=ta, kx=kx, slab=slab,
+                               tile=tile, win=win, dkey=plan.dkey)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i, *s: (i, 0),
+                         memory_space=pltpu.VMEM),        # output base keys
+            pl.BlockSpec((tile, ta), lambda i, *s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((tile, ta), lambda i, *s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, slab), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, ta), jnp.int32),
+        interpret=interpret,
+    )(plan.starts, cb, nvt, plan.okeys.reshape(-1, 1), plan.inb32, keys_p)
+
+
 def plan_rows(in_keys: jax.Array, plan: MatchPlan,
               slab: int = DEFAULT_SLAB, cw: Optional[int] = None,
               interpret: bool = False) -> jax.Array:
@@ -1324,7 +1607,7 @@ def plan_rows(in_keys: jax.Array, plan: MatchPlan,
     keys_p = jnp.concatenate(
         [in_keys, jnp.full((k_pad - k_in,), INT_MAX, jnp.int32)]
     ).reshape(1, k_pad)
-    q_stacked = plan.qs
+    q_stacked = _plan_qs(plan)
     kernel = functools.partial(_rows_kernel, taps=ta, kx=kx, slab=slab,
                                tile=tile, cw=cw)
     grid_spec = pltpu.PrefetchScalarGridSpec(

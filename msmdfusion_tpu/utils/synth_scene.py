@@ -227,7 +227,8 @@ def _instances_for_camera(points, objects, lidar2img, img_hw, gvp):
 
 def realistic_batch(shape: Dict, b: int, seed: int = 0,
                     num_virtual: int = 200,
-                    return_artifacts: bool = False) -> Dict:
+                    return_artifacts: bool = False,
+                    return_gt: bool = False, max_gt: int = 32) -> Dict:
     """Drop-in replacement for the uniform `_synth_batch` (same keys/shapes).
 
     shape: dict(n, v, m, mr, img_hw, pcr) — the `_flagship_model` shape
@@ -248,9 +249,20 @@ def realistic_batch(shape: Dict, b: int, seed: int = 0,
     fg_batches = []
     l2i_batches = []
     artifacts = []
+    gt_bboxes = np.zeros((b, max_gt, 9), np.float32)
+    gt_labels = np.zeros((b, max_gt), np.int32)
+    gt_valid = np.zeros((b, max_gt), bool)
     for bi in range(b):
         pts, objects = lidar_scene(rng, n, pcr)
         points[bi] = pts
+        for gi, obj in enumerate(objects[:max_gt]):
+            c, d = obj['center'], obj['dims']
+            # bottom-center convention (what the head's loss consumes):
+            # (x, y, z_bottom, dx, dy, dz, yaw, vx, vy), static objects
+            gt_bboxes[bi, gi] = [c[0], c[1], c[2] - d[2] / 2,
+                                 d[0], d[1], d[2], obj['yaw'], 0.0, 0.0]
+            gt_labels[bi, gi] = obj['label']
+            gt_valid[bi, gi] = True
         l2i = camera_rig(img_hw, num_cams=v, seed=seed + 17 * bi)
         cams = [dict(lidar2img=l2i[ci], img_hw=img_hw,
                      instances=_instances_for_camera(
@@ -272,6 +284,9 @@ def realistic_batch(shape: Dict, b: int, seed: int = 0,
     fg['lidar2img'] = np.stack(l2i_batches)
     batch = dict(points=points, points_mask=np.ones((b, n), bool),
                  img=imgs, fg=fg)
+    if return_gt:
+        batch['gt'] = dict(gt_bboxes=gt_bboxes, gt_labels=gt_labels,
+                           gt_valid=gt_valid)
     if return_artifacts:
         return batch, artifacts
     return batch

@@ -182,7 +182,7 @@ def test_attach_rows_layout_matches_searchsorted(rng):
     assert (rel[~hit] == mc.COL_MISS).all()
     assert (cb % 128 == 0).all()
     live = np.asarray(plan.live32)
-    q0 = np.asarray(plan.queries)[::tile, 0]
+    q0 = np.asarray(mc._plan_queries(plan))[::tile, 0]
     np.testing.assert_array_equal(live, (q0 != INT_MAX).astype(np.int32))
 
 

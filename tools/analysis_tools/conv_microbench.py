@@ -36,7 +36,7 @@ jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 
 
-def timeit(fn, *args, n=8, inner=4):
+def timeit(fn, *args, n=8, inner=16):
     """min-of-n of (fn repeated `inner` times in one jit) / inner, ms.
 
     ``fn(salt, *args)`` must fold the int32 ``salt`` (0 at runtime, but
@@ -162,10 +162,14 @@ def main():
             planr = attach_rows(st.keys, plan)
         planr = jax.block_until_ready(planr)
         if 'conv' in ops:
-            ms_vg, _ = timeit(
-                lambda salt, f, wt, p=planr: _vgather_conv(
-                    f + salt.astype(f.dtype), p, wt), feats, w)
-            line += f' vgather={ms_vg:6.2f}'
+            probe = _vgather_conv(feats, planr, w)
+            if probe is None:
+                line += ' vgather=  NOFIT'
+            else:
+                ms_vg, _ = timeit(
+                    lambda salt, f, wt, p=planr: _vgather_conv(
+                        f + salt.astype(f.dtype), p, wt), feats, w)
+                line += f' vgather={ms_vg:6.2f}'
         if 'onehot' in ops:
             ms_oh, _ = timeit(
                 lambda salt, f, keys, wt, p=plan: _pallas_conv(
