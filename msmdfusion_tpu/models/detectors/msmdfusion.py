@@ -116,7 +116,14 @@ class MSMDFusionDetector(nn.Module):
             flat = flat.astype(jnp.bfloat16)
         img_train = train and not self.freeze_img
         feats = self.backbone_img(flat, train=img_train)
-        return self.neck_img(feats, train=img_train)
+        feats = self.neck_img(feats, train=img_train)
+        if train and self.freeze_img:
+            # reference freeze_img sets requires_grad=False on the image
+            # branch (tools/train.py:185-219): no gradient flows into it,
+            # so the ResNet50+FPN backward is skipped outright (the optax
+            # mask alone would still pay the backward FLOPs)
+            feats = [jax.lax.stop_gradient(f) for f in feats]
+        return feats
 
     def depth_aware_compression(self, img_feats, fg_real_pixels, fg_real_mask,
                                 input_hw, train: bool):

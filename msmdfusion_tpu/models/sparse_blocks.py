@@ -15,12 +15,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+import dataclasses
+
 from ..ops.sparse.conv import downsample_out_coords, kernel_offsets
 from ..ops.sparse.dense_tail import dense_sparse_conv, use_dense
 from ..ops.sparse.matchconv import (DEFAULT_SLAB, ROWS_MIN_C,
                                     apply_epilogue_xla, apply_match_conv,
                                     attach_rows, build_downsample_plan,
-                                    build_subm_plan, fuse_eval_bn, plan_rows,
+                                    build_dual_down_plan, build_subm_plan,
+                                    fuse_eval_bn, plan_rows,
                                     rows_gather_conv, use_pallas,
                                     use_vgather)
 from ..ops.sparse.tensor import SparseTensor
@@ -132,6 +135,10 @@ class SparseConv3d(nn.Module):
     slab: Optional[int] = None          # see SubMConv3d.slab
     tile: Optional[int] = None          # see SubMConv3d.tile
     cw: Optional[int] = None
+    # training: also build the transpose ("dual") plan so the backward
+    # runs the same Pallas kernel instead of the XLA scatter fallback
+    # (subm convs are their own transpose and need no dual)
+    with_dual: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor, cache: Dict[str, Any],
@@ -163,6 +170,17 @@ class SparseConv3d(nn.Module):
                 plan = attach_rows(st.keys, plan,
                                    slab=self.slab or DEFAULT_SLAB,
                                    cw=self.cw, site=key[1])
+            if plan is not None and self.with_dual and use_pallas():
+                dual = build_dual_down_plan(
+                    st, out_keys, out_shape, self.kernel_size, self.stride,
+                    self.padding,
+                    **({'tile': self.tile} if self.tile else {}))
+                if use_vgather():
+                    dual = attach_rows(out_keys, dual,
+                                       slab=self.slab or DEFAULT_SLAB,
+                                       cw=self.cw, site=key[1] + '_dual')
+                plan = dataclasses.replace(plan, dual=dual,
+                                           dual_keys=out_keys)
             entry = (out_keys, out_coords, out_valid, out_shape, plan)
             cache[key] = entry
         out_keys, out_coords, out_valid, out_shape, plan = entry
@@ -242,7 +260,7 @@ class SparseConvBlock(nn.Module):
                         self.out_channels, self.kernel_size, self.stride,
                         self.padding, out_capacity=self.out_capacity,
                         indice_key=self.indice_key, slab=self.slab,
-                        tile=tile, cw=self.cw)(st, cache)
+                        tile=tile, cw=self.cw, with_dual=train)(st, cache)
                 else:
                     raise ValueError(self.conv_type)
             elif step == 'norm':

@@ -185,6 +185,21 @@ class MatchPlan:
     okeys: Optional[jax.Array] = None      # [K_out_pad] i32
     dkey: Optional[Tuple[int, ...]] = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # raw rulebook rows [K_out_pad, Ta] (-1 = miss) kept by attach_rows.
+    # Unused leaves are DCE'd by XLA at inference; the training backward
+    # reads them for the weight-gradient fallback path.
+    rows_raw: Optional[jax.Array] = None
+    # transpose ("dual") plan for the Pallas training backward of strided
+    # convs: gathers over the OUTPUT coordinate set back onto the input
+    # rows, with dual tap u <-> forward tap Ta-1-u (build_dual_down_plan).
+    # Submanifold plans need no dual — symmetric offsets make the plan its
+    # own transpose. dual_keys is the dual's input key array (the forward
+    # conv's output keys).
+    dual: Optional['MatchPlan'] = None
+    dual_keys: Optional[jax.Array] = None
+    # plan flavor: 'subm' | 'down' | 'dual' | '' (inverse/custom). Drives
+    # the backward dispatch only.
+    kind: str = dataclasses.field(default='', metadata=dict(static=True))
 
     @property
     def num_taps(self) -> int:
@@ -228,7 +243,7 @@ def _round_up(v: int, m: int) -> int:
 def build_plan(in_keys: jax.Array, query_keys: Optional[jax.Array],
                inb: jax.Array, kx: int, tile: int = DEFAULT_TILE,
                okeys: Optional[jax.Array] = None,
-               dkey=None) -> MatchPlan:
+               dkey=None, kind: str = '') -> MatchPlan:
     """Assemble a MatchPlan from per-tap monotone query keys.
 
     Args:
@@ -310,7 +325,8 @@ def build_plan(in_keys: jax.Array, query_keys: Optional[jax.Array],
                      inb32=inb.astype(jnp.int32),
                      kx=kx, k_out=k_out, tile=tile, starts128=starts128,
                      okeys=okeys,
-                     dkey=(None if dkey is None else tuple(dkey)))
+                     dkey=(None if dkey is None else tuple(dkey)),
+                     kind=kind)
 
 
 def _offsets_zyx(kernel_size) -> np.ndarray:
@@ -366,7 +382,8 @@ def build_subm_plan(st: SparseTensor, kernel_size,
     # while issuing 3x fewer DMAs. AFFINE plan: queries = keys + dkey[t],
     # never materialized (invalid rows' wrapped queries are inb-masked).
     return build_plan(st.keys, None, inb, _group_taps(kernel_size), tile,
-                      okeys=st.keys, dkey=tuple(int(v) for v in dkey))
+                      okeys=st.keys, dkey=tuple(int(v) for v in dkey),
+                      kind='subm')
 
 
 def build_downsample_plan(st: SparseTensor, out_coords, out_valid,
@@ -406,7 +423,8 @@ def build_downsample_plan(st: SparseTensor, out_coords, out_valid,
     dkey = taps[:, 0] * (y * x) + taps[:, 1] * x + taps[:, 2]
     okeys = jnp.where(out_valid, base_key, INT_MAX).astype(jnp.int32)
     return build_plan(st.keys, None, inb, int(ky) * int(kx), tile,
-                      okeys=okeys, dkey=tuple(int(v) for v in dkey))
+                      okeys=okeys, dkey=tuple(int(v) for v in dkey),
+                      kind='down')
 
 
 def build_inverse_plan(st: SparseTensor, orig_coords, orig_valid,
@@ -431,16 +449,95 @@ def build_inverse_plan(st: SparseTensor, orig_coords, orig_valid,
     z, y, x = st.spatial_shape
     numer = orig_coords[:, None, 1:] + jnp.asarray(p)[None, None, :] - \
         jnp.asarray(taps)[None, :, :]                     # [K, Ta, 3]
-    divis = jnp.all(numer % jnp.asarray(s)[None, None, :] == 0, axis=-1)
+    ex = numer % jnp.asarray(s)[None, None, :] == 0
     in_zyx = numer // jnp.asarray(s)[None, None, :]
-    inb = orig_valid[:, None] & divis & jnp.all(
+    inb = orig_valid[:, None] & jnp.all(ex, axis=-1) & jnp.all(
         (in_zyx >= 0) & (in_zyx < jnp.array([z, y, x])), axis=-1)
-    queries = (
-        (orig_coords[:, None, 0] * z + in_zyx[..., 0]) * (y * x) +
-        in_zyx[..., 1] * x + in_zyx[..., 2])
-    # floor-div keeps per-tap monotonicity; invalid rows park at INT_MAX
+    # LEX-FLOOR surrogate on inexact rows (see _lex_floor_key): raw per-axis
+    # floors are not lex-monotone, which silently broke the Pallas kernel's
+    # slab brackets for inverse plans on non-divisible rows
+    queries = _lex_floor_key(orig_coords[:, 0], in_zyx, ex, (z, y, x))
     queries = jnp.where(orig_valid[:, None], queries, INT_MAX)
     return build_plan(st.keys, queries.astype(jnp.int32), inb, 1, tile)
+
+
+def build_dual_down_plan(st: SparseTensor, out_keys: jax.Array,
+                         out_shape, kernel_size, stride, padding,
+                         tile: int = DEFAULT_TILE) -> MatchPlan:
+    """Transpose plan of a strided conv, for the Pallas training backward.
+
+    The backward of ``out[o] += in[i] @ W[t]`` over pairs with
+    ``i = o*stride - pad + tap_t`` is ``d_in[i] += g[o] @ W[t]^T`` over the
+    same pairs — a conv over the OUTPUT (coarse) coordinate set evaluated
+    at the input (fine) rows. Fine row i queries the coarse key at
+    ``o = (i + pad - tap_t) / stride`` when divisible.
+
+    Taps are enumerated REVERSED (dual tap u <-> forward tap Ta-1-u): the
+    coarse coordinate per axis DECREASES as the forward tap increases, so
+    the reversed order keeps per-group queries monotone ascending and the
+    (ky*kx)-tap dz-plane groups can share one slab DMA exactly like the
+    forward kernel. Same correspondence as the submanifold mirror, so the
+    backward applies ``weights[::-1].swapaxes(1, 2)`` uniformly.
+
+    Reference semantics: the transposed rulebook of spconv's indice_conv
+    backward (mmdet3d/ops/spconv/functional.py:20-100).
+    """
+    kz, ky, kx = (kernel_size if isinstance(kernel_size, (tuple, list))
+                  else (kernel_size,) * 3)
+    offs = _offsets_zyx(kernel_size)
+    ctr = np.array([kz // 2, ky // 2, kx // 2], np.int32)
+    taps = (offs + ctr)[::-1]                            # REVERSED 0-based
+    s = np.broadcast_to(np.asarray(
+        stride if isinstance(stride, (tuple, list)) else (stride,) * 3,
+        np.int32), (3,))
+    p = np.broadcast_to(np.asarray(
+        padding if isinstance(padding, (tuple, list)) else (padding,) * 3,
+        np.int32), (3,))
+    oz, oy, ox = (int(v) for v in out_shape)
+    numer = st.coords[:, None, 1:] + jnp.asarray(p)[None, None, :] - \
+        jnp.asarray(taps)[None, :, :]                    # [K, Ta, 3]
+    ex = numer % jnp.asarray(s)[None, None, :] == 0      # axis divisible
+    o_zyx = numer // jnp.asarray(s)[None, None, :]
+    inb = st.valid[:, None] & jnp.all(ex, axis=-1) & jnp.all(
+        (o_zyx >= 0) & (o_zyx < jnp.array([oz, oy, ox])), axis=-1)
+    queries = _lex_floor_key(st.coords[:, 0], o_zyx, ex, (oz, oy, ox))
+    queries = jnp.where(st.valid[:, None], queries, INT_MAX)
+    return build_plan(out_keys, queries.astype(jnp.int32), inb,
+                      int(ky) * int(kx), tile, kind='dual')
+
+
+def _lex_floor_key(batch, o_zyx, ex, out_shape):
+    """Monotone packed queries for stride-divided coordinate maps.
+
+    On matchable rows (every axis exactly divisible AND in bounds) the
+    packed key of ``o_zyx`` itself; elsewhere the LEX-FLOOR surrogate:
+    walking z -> y -> x, the first non-clean axis decides —
+      * inexact or above-bounds: clamp it and saturate lower axes HIGH
+        (the tight upper envelope of all earlier lattice keys),
+      * below-bounds: saturate lower axes LOW and subtract 1 (just under
+        every in-bounds key of this (b, prefix)).
+
+    Raw per-axis floors are NOT lex-monotone across axis boundaries
+    (fine (z=2,y=9) -> (1,4) vs (z=3,y=0) -> floor (1,0)), and unclamped
+    out-of-bounds values alias other cells' keys; either breaks the match
+    kernel's slab brackets. The surrogate is the monotone envelope that
+    still equals the true key wherever ``inb`` allows a match.
+
+    Args: batch [K]; o_zyx [K, Ta, 3] floor-divided coords; ex [K, Ta, 3]
+    per-axis divisibility; out_shape (oz, oy, ox) static.
+    """
+    dz, dy, dx = out_shape
+    oz, oy, ox = o_zyx[..., 0], o_zyx[..., 1], o_zyx[..., 2]
+    cz = ex[..., 0] & (oz >= 0) & (oz < dz)      # axis clean
+    cy = ex[..., 1] & (oy >= 0) & (oy < dy)
+    lz, ly, lx = oz < 0, oy < 0, ox < 0          # below-bounds
+    oy_eff = jnp.where(cz, jnp.clip(oy, 0, dy - 1),
+                       jnp.where(lz, 0, dy - 1))
+    ox_eff = jnp.where(cz & cy, jnp.clip(ox, 0, dx - 1),
+                       jnp.where(lz | (cz & ly), 0, dx - 1))
+    minus1 = (lz | (cz & ly) | (cz & cy & lx)).astype(jnp.int32)
+    return ((batch[:, None] * dz + jnp.clip(oz, 0, dz - 1)) * dy
+            + oy_eff) * dx + ox_eff - minus1
 
 
 def _record_slab_overflow(plan: MatchPlan, slab: int, site: str) -> None:
@@ -824,13 +921,12 @@ def _pallas_conv(feats: jax.Array, in_keys: jax.Array, plan: MatchPlan,
 #   slices inside a fori_loop over bracket chunks.
 # ---------------------------------------------------------------------------
 
-def _vgather_kernel(starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
-                    feats_hbm, w_ref, sb_ref, o_ref, fslab, sem_f, *,
-                    taps: int, kx: int,
+def _vgather_kernel(*refs, taps: int, kx: int,
                     cin: int, cout: int, slab: int, tile: int, cw: int,
                     col_w: int = 0, gemm: str = 'highest',
                     packed: bool = False, fuse_affine: bool = False,
-                    relu: bool = False, tail: str = 'loop'):
+                    relu: bool = False, tail: str = 'loop',
+                    with_dw: bool = False):
     """One output tile: bracket slab DMAs, butterfly row gather, GEMM.
 
     packed=True: the slab holds bf16 channel PAIRS bitcast into f32 lanes
@@ -847,12 +943,32 @@ def _vgather_kernel(starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
     vregs for the rare columns whose matches span wider (density skew on
     realistic scenes) — exact up to the slab, zero iterations for the
     99%+ of columns that fit col_w.
+
+    with_dw=True (training backward over a DUAL plan): an extra xs_ref
+    block carries the forward input features at this tile's rows, and a
+    second output dw_ref [taps*cin, cx] (constant block index — lives in
+    VMEM across the whole sequential grid) accumulates the per-tap weight
+    gradient ``dw[u] += g_stack_u^T-gather @ xs`` — the gathered rows are
+    shared with the d_feats GEMM, so the weight gradient costs one extra
+    MXU contraction per group and zero extra gathers.
     """
+    if with_dw:
+        (starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref, xs_ref,
+         feats_hbm, w_ref, sb_ref, o_ref, dw_ref, fslab, sem_f) = refs
+    else:
+        (starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
+         feats_hbm, w_ref, sb_ref, o_ref, fslab, sem_f) = refs
+        xs_ref = dw_ref = None
     i = pl.program_id(0)
     groups = taps // kx
     crows = cin // 2 if packed else cin   # slab/gather channel rows
     rep = crows // 8
     gdtype = jnp.bfloat16 if packed else jnp.float32
+
+    if with_dw:
+        @pl.when(i == 0)
+        def _init_dw():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
 
     @pl.when(live_ref[i] == 0)
     def _zero_tile():
@@ -989,6 +1105,7 @@ def _vgather_kernel(starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
                 axis=0)
             wg = w_ref[g * kx * cin:(g + 1) * kx * cin, :]
             dims = (((0,), (0,)), ((), ()))
+            g_hi = g_lo = None
             if packed:
                 # bf16 features: one MXU pass (feature quantization already
                 # dominates; weights are bf16 too)
@@ -1020,6 +1137,35 @@ def _vgather_kernel(starts_ref, live_ref, cb_ref, nv_ref, rT_ref, ov_ref,
                     g_stack, wg, dims,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
+            if with_dw:
+                # weight gradient: contract the SAME gathered stack with
+                # this tile's forward-input features — [kx*cin, tile] @
+                # [tile, cx] accumulated over the whole grid
+                xs = xs_ref[:]
+                r0 = g * kx * cin
+                dwd = (((1,), (0,)), ((), ()))
+                if packed:
+                    dw_ref[r0:r0 + kx * cin, :] += jax.lax.dot_general(
+                        g_stack, xs.astype(jnp.bfloat16), dwd,
+                        preferred_element_type=jnp.float32)
+                else:
+                    if g_hi is None:
+                        g_hi = g_stack.astype(jnp.bfloat16)
+                        g_lo = (g_stack - g_hi.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                    x_hi = xs.astype(jnp.bfloat16)
+                    x_lo = (xs - x_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    dw_ref[r0:r0 + kx * cin, :] += (
+                        jax.lax.dot_general(
+                            g_hi, x_hi, dwd,
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            g_hi, x_lo, dwd,
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            g_lo, x_hi, dwd,
+                            preferred_element_type=jnp.float32))
         # fused inference epilogue (see _match_kernel.epilogue): BN affine
         # (or bias) + ReLU on the accumulator already in VMEM, masked by
         # the true out_valid so invalid rows stay exactly zero
@@ -1139,28 +1285,44 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
     rs = jnp.broadcast_to(rs[:, None, :], (n_tiles, 8, ta * tile))
     rs = rs.reshape(n_tiles * 8, ta * tile)
     live = _plan_live(plan).astype(jnp.int32)
+    # rows ([K_out_pad, Ta]) ride along for the training backward's weight
+    # gradient; XLA DCE drops them from inference traces
     return dataclasses.replace(plan, rows_stack=rs, live32=live,
                                col_base=cb, col_w=int(col_w), col_nv=nv,
-                               col_nvt=(None if not col_w else nvt))
+                               col_nvt=(None if not col_w else nvt),
+                               rows_raw=rows)
 
 
 def _vgather_vmem_bytes(cin_pad: int, cout: int, ta: int, tile: int,
-                        kx: int, slab: int, packed: bool = False) -> int:
+                        kx: int, slab: int, packed: bool = False,
+                        cx: int = 0) -> int:
     fb = 2 if packed else 4                   # bf16 pairs pack 2B/channel
+    dw = 0
+    if cx:                                    # with_dw: dw acc + xs block
+        dw = (ta * cin_pad * max(cx, 128) * 4
+              + 2 * tile * max(cx, 128) * 4
+              + kx * cin_pad * max(cx, 128) * 4)  # per-group dw temporary
     return (2 * cin_pad * slab * fb           # feature slabs (x2 slots)
             + 2 * 8 * ta * tile * 4           # rows block (pipelined x2)
             + 2 * tile * 128 * 4              # out_valid block (lane-padded)
             + ta * cin_pad * cout * 4         # weights
             + cin_pad * kx * tile * fb * 2    # g_here + gchunk temporaries
             + kx * cin_pad * tile * fb * 3    # g_stack + GEMM operand copies
-            + tile * cout * 4 * 2)            # acc + out
+            + tile * cout * 4 * 2             # acc + out
+            + dw)
 
 
 def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
                   slab: int = DEFAULT_SLAB, cw: Optional[int] = None,
                   interpret: bool = False, scale=None, shift=None,
-                  relu: bool = False, out_valid=None) -> Optional[jax.Array]:
-    """[K_out_pad, Cout] via rows + VMEM butterfly gather; None = no fit."""
+                  relu: bool = False, out_valid=None,
+                  xs: Optional[jax.Array] = None):
+    """[K_out_pad, Cout] via rows + VMEM butterfly gather; None = no fit.
+
+    ``xs`` ([K_out_pad, Cx] forward-input features, training backward only)
+    requests the fused weight-gradient accumulator: the return value
+    becomes ``(out, dw)`` with dw [Ta*cin_pad, Cx].
+    """
     k_in, cin = feats.shape
     ta, _, cout = weights.shape
     tile = plan.tile
@@ -1168,11 +1330,12 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
     cw = min(cw or DEFAULT_CW, slab)
     packed = conv_dtype() == 'bfloat16'
     cin_pad = _round_up(cin, 16 if packed else 8)
+    cx = 0 if xs is None else xs.shape[1]
     if (tile % 128) or (cw % 128):
         return None
     for try_slab in (slab, 1024):
         if _vgather_vmem_bytes(cin_pad, cout, ta, tile, plan.kx,
-                               try_slab, packed) <= 12 * 1024 * 1024:
+                               try_slab, packed, cx) <= 12 * 1024 * 1024:
             slab = try_slab
             break
     else:
@@ -1224,38 +1387,57 @@ def _vgather_conv(feats: jax.Array, plan: MatchPlan, weights: jax.Array,
         _vgather_kernel, taps=ta, kx=plan.kx, cin=cin_pad, cout=cout,
         slab=slab, tile=tile, cw=cw, col_w=col_w, gemm=gemm_mode(),
         packed=packed, fuse_affine=fuse_affine, relu=relu,
-        tail=tail_mode)
+        tail=tail_mode, with_dw=xs is not None)
+    in_specs = [
+        pl.BlockSpec((8, ta * tile), lambda i, *s: (i, 0),
+                     memory_space=pltpu.VMEM),        # rows_stack
+        pl.BlockSpec((tile, 1), lambda i, *s: (i, 0),
+                     memory_space=pltpu.VMEM),        # out_valid rows
+    ]
+    if xs is not None:
+        in_specs.append(pl.BlockSpec((tile, cx), lambda i, *s: (i, 0),
+                                     memory_space=pltpu.VMEM))   # fwd feats
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.HBM),         # featsT
+        pl.BlockSpec(memory_space=pltpu.VMEM),        # weights
+        pl.BlockSpec(memory_space=pltpu.VMEM),        # scale/shift rows
+    ]
+    out_specs = pl.BlockSpec((tile, cout), lambda i, *s: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_tiles * tile, cout), feats.dtype)
+    if xs is not None:
+        # the dw accumulator's block index is CONSTANT: it stays pinned in
+        # VMEM across the (sequential) grid and is written back once
+        out_specs = [out_specs,
+                     pl.BlockSpec((ta * cin_pad, cx), lambda i, *s: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((ta * cin_pad, cx), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((8, ta * tile), lambda i, *s: (i, 0),
-                         memory_space=pltpu.VMEM),        # rows_stack
-            pl.BlockSpec((tile, 1), lambda i, *s: (i, 0),
-                         memory_space=pltpu.VMEM),        # out_valid rows
-            pl.BlockSpec(memory_space=pltpu.HBM),         # featsT
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # scale/shift rows
-        ],
-        out_specs=pl.BlockSpec((tile, cout), lambda i, *s: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, slab_rows, slab), jnp.float32),  # feat slabs
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    args = [plan.starts, plan.live32, cb_arg, nv_arg, plan.rows_stack,
+            ov_arg]
+    if xs is not None:
+        args.append(xs.astype(jnp.float32))
+    args += [feats_t, w_arg, sb_arg]
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, cout),
-                                       feats.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * tile * ta * cin * cout,
             bytes_accessed=n_tiles * (ta // plan.kx) * slab * cin * 4,
             transcendentals=0),
         interpret=interpret,
-    )(plan.starts, plan.live32, cb_arg, nv_arg, plan.rows_stack, ov_arg,
-      feats_t, w_arg, sb_arg)
+    )(*args)
     return out
 
 
@@ -1276,10 +1458,103 @@ def _match_conv_fwd(feats, in_keys, plan_weights, slab, cw=None):
     return out, (feats, in_keys, plan_weights)
 
 
-def _match_conv_bwd(slab, cw, res, g):
-    feats, in_keys, (plan, weights) = res
-    # exact rows via searchsorted (training path; the inference hot path
-    # never runs this). d_feats[r] = sum_{t,i: rows[t,i]==r} g[i] @ W[t]^T
+def _dual_of(plan: MatchPlan):
+    """(dual_plan, dual_in_keys) for the transpose conv, or (None, None).
+
+    Submanifold plans with center-symmetric offsets are their OWN
+    transpose (dual tap u <-> forward tap Ta-1-u since
+    offsets[Ta-1-u] == -offsets[u]); strided plans carry an explicitly
+    built dual (build_dual_down_plan) with the same correspondence.
+    dual_in_keys None means "reuse the forward in_keys" (subm).
+    """
+    if plan.kind == 'subm' and plan.dkey is not None:
+        ta = len(plan.dkey)
+        if all(plan.dkey[t] == -plan.dkey[ta - 1 - t] for t in range(ta)):
+            return plan, None
+    if plan.dual is not None:
+        return plan.dual, plan.dual_keys
+    return None, None
+
+
+def _dw_from_rows(feats, rows, g, weights):
+    """d_w[t] = sum_o feats[rows[o, t]] (x) g[o] via gather + einsum.
+
+    Fallback weight gradient when the fused dw kernel does not fit VMEM;
+    rows [K_out_pad, Ta] come from the plan's cached rulebook."""
+    ta, cin, cout = weights.shape
+    k_in = feats.shape[0]
+    k_out = rows.shape[0]
+    g32 = g[:k_out].astype(jnp.float32)
+    fz = jnp.concatenate(
+        [feats.astype(jnp.float32), jnp.zeros((1, cin), jnp.float32)])
+    safe = jnp.where(rows >= 0, rows, k_in).T              # [Ta, K_out]
+    chunk = _rows_tap_chunk(ta, k_out, cin)
+    parts = []
+    for s0 in range(0, ta, chunk):
+        gath = jnp.take(fz, safe[s0:s0 + chunk], axis=0)   # [t, K, Cin]
+        parts.append(jnp.einsum(
+            'tkc,kd->tcd', gath, g32,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _pallas_bwd(feats, in_keys, plan, weights, g, slab, cw,
+                interpret: bool = False):
+    """(d_feats, d_w) via the dual-plan Pallas kernels, or None.
+
+    d_feats is the SAME conv kernel over the transpose plan with
+    tap-flipped + transposed weights; d_w rides the same gathered rows as
+    a fused accumulator (with_dw) when it fits VMEM, else falls back to a
+    rows-gather einsum. This replaces the XLA searchsorted + [Ta, K, Cin]
+    einsum + segment_sum backward that made training ~30x slower than the
+    forward (TPU scatters retire ~1 row/cycle; searchsorted at 27*K
+    queries is minutes-scale at full grid)."""
+    dual, dkeys = _dual_of(plan)
+    if dual is None:
+        return None
+    ta, cin, cout = weights.shape
+    k_in = feats.shape[0]
+    src_keys = in_keys if dkeys is None else dkeys
+    gsrc = g[:src_keys.shape[0]]
+    wb = jnp.swapaxes(weights[::-1], 1, 2)                 # [Ta, Cout, Cin]
+    kp = dual.inb.shape[0]
+    xs = jnp.zeros((kp, cin), jnp.float32).at[:k_in].set(
+        feats.astype(jnp.float32))
+    d_feats = d_w = None
+    if dual.rows_stack is not None:
+        r = _vgather_conv(gsrc, dual, wb, slab=slab, cw=cw, xs=xs,
+                          interpret=interpret)
+        if r is not None:
+            d_feats, dwacc = r
+            cgp = dwacc.shape[0] // ta                     # padded Cout
+            d_w = jnp.transpose(
+                dwacc.reshape(ta, cgp, cin)[::-1, :cout, :], (0, 2, 1))
+        else:
+            d_feats = _vgather_conv(gsrc, dual, wb, slab=slab, cw=cw,
+                                    interpret=interpret)
+    if d_feats is None:
+        qs_ok = dual.queries is not None or dual.okeys is not None
+        if not qs_ok:
+            return None
+        d_feats = _pallas_conv(gsrc, src_keys, dual, wb, slab=slab, cw=cw,
+                               interpret=interpret)
+    if d_w is None:
+        if plan.rows_raw is not None:
+            rows = plan.rows_raw
+        elif use_pallas() or interpret:
+            rows = plan_rows(in_keys, plan, slab=slab, cw=cw,
+                             interpret=interpret)
+        else:
+            rows = _rows_from_plan(in_keys, plan).T
+        d_w = _dw_from_rows(feats, rows, g, weights)
+    return (d_feats[:k_in].astype(feats.dtype),
+            d_w.astype(weights.dtype))
+
+
+def _match_conv_bwd_xla(feats, in_keys, plan, weights, g):
+    """Reference XLA backward (CPU path / unsupported plans): exact rows
+    via searchsorted, d_feats by segment_sum, d_w by gathered einsum."""
     rows = _rows_from_plan(in_keys, plan)                  # [Ta, K_pad]
     ta, cin, cout = weights.shape
     k_in = feats.shape[0]
@@ -1296,6 +1571,17 @@ def _match_conv_bwd(slab, cw, res, g):
         jnp.take(feats, jnp.minimum(safe, k_in - 1), axis=0), 0)
     d_w = jnp.einsum('tkc,kd->tcd', gathered, g,
                      preferred_element_type=jnp.float32).astype(weights.dtype)
+    return d_feats, d_w
+
+
+def _match_conv_bwd(slab, cw, res, g):
+    feats, in_keys, (plan, weights) = res
+    if use_pallas():
+        out = _pallas_bwd(feats, in_keys, plan, weights, g, slab, cw)
+        if out is not None:
+            d_feats, d_w = out
+            return d_feats, None, (None, d_w)
+    d_feats, d_w = _match_conv_bwd_xla(feats, in_keys, plan, weights, g)
     return d_feats, None, (None, d_w)
 
 

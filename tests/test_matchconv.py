@@ -361,3 +361,131 @@ def test_attach_rows_no_drops_on_skewed_data(rng):
         np.where(hit, rel + cb.T[:, :, None], -1),
         np.where(hit, want.reshape(n_tiles, -1, 128), -1),
         err_msg='attach_rows dropped or mispositioned an in-slab match')
+
+
+# ---------------------------------------------------------------------------
+# Training backward: dual-plan Pallas kernels (round-5)
+# ---------------------------------------------------------------------------
+
+def test_lex_floor_key_monotone(rng):
+    """_lex_floor_key yields per-tap monotone queries on sorted fine keys.
+
+    Raw per-axis floors are not lex-monotone across axis boundaries (the
+    bug the lex-floor fixes); this fuzzes the property the slab brackets
+    of dual/inverse plans rely on."""
+    st = make_st(rng, 512, 450, (8, 20, 20), 4)
+    for stride, pad in [((2, 2, 2), 1), ((2, 1, 1), 0), ((1, 2, 2), (0, 1, 1))]:
+        s = np.asarray(stride if isinstance(stride, tuple) else (stride,) * 3)
+        p = np.broadcast_to(np.asarray(
+            pad if isinstance(pad, tuple) else (pad,) * 3), (3,))
+        taps = (mc._offsets_zyx(3) + 1)[::-1]
+        out_shape = tuple((np.array(st.spatial_shape) + 2 * p - 3) // s + 1)
+        numer = np.asarray(st.coords)[:, None, 1:] + p[None, None] - \
+            taps[None, :, :]
+        ex = jnp.asarray(numer % s[None, None] == 0)
+        o_zyx = jnp.asarray(numer // s[None, None])
+        q = np.asarray(mc._lex_floor_key(
+            st.coords[:, 0], o_zyx, ex, out_shape))
+        valid = np.asarray(st.valid)
+        qv = q[valid]                       # rows sorted by fine key
+        assert (np.diff(qv, axis=0) >= 0).all(), (stride, pad)
+
+
+def _vjp_ref(st, plan, w, g):
+    out, vjp = jax.vjp(
+        lambda f, w_: mc._fallback_conv(f, st.keys, plan, w_),
+        st.features, w)
+    return vjp(g)
+
+
+def test_pallas_bwd_subm_interpret(rng):
+    """Dual-plan backward == autodiff of the searchsorted fallback (subm:
+    the plan is its own transpose; d_w rides the fused dw accumulator)."""
+    st = make_st(rng, 384, 300, (5, 16, 16), 8)
+    plan = mc.build_subm_plan(st, 3, tile=128)
+    plan = mc.attach_rows(st.keys, plan, interpret=True)
+    w = jnp.asarray((rng.randn(27, 8, 12) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.randn(plan.inb.shape[0], 12).astype(np.float32))
+    got = mc._pallas_bwd(st.features, st.keys, plan, w, g, 1024, None,
+                         interpret=True)
+    assert got is not None
+    gf, gw = got
+    gf_r, gw_r = _vjp_ref(st, plan, w, g)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_bwd_strided_interpret(rng):
+    """Dual-plan backward for a strided conv (reversed-tap inverse plan)."""
+    from msmdfusion_tpu.ops.sparse.conv import downsample_out_coords
+    import dataclasses as dc
+    st = make_st(rng, 384, 300, (8, 20, 20), 8)
+    for ks, stride, pad in [(3, 2, 1), ((3, 1, 1), (2, 1, 1), 0)]:
+        out_keys, out_coords, out_valid, out_shape = downsample_out_coords(
+            st, ks, stride, pad, 256)
+        plan = mc.build_downsample_plan(st, out_coords, out_valid, ks,
+                                        stride, pad, tile=128)
+        plan = mc.attach_rows(st.keys, plan, interpret=True)
+        dual = mc.build_dual_down_plan(st, out_keys, out_shape, ks, stride,
+                                       pad, tile=128)
+        dual = mc.attach_rows(out_keys, dual, interpret=True)
+        plan = dc.replace(plan, dual=dual, dual_keys=out_keys)
+        ta = plan.num_taps
+        w = jnp.asarray((rng.randn(ta, 8, 12) * 0.1).astype(np.float32))
+        g = jnp.asarray(rng.randn(plan.inb.shape[0], 12).astype(np.float32))
+        got = mc._pallas_bwd(st.features, st.keys, plan, w, g, 1024, None,
+                             interpret=True)
+        assert got is not None, (ks, stride)
+        gf, gw = got
+        gf_r, gw_r = _vjp_ref(st, plan, w, g)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(ks))
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(ks))
+
+
+def test_dual_down_plan_rows_are_transpose(rng):
+    """The dual plan's match rows are exactly the transposed rulebook."""
+    from msmdfusion_tpu.ops.sparse.conv import downsample_out_coords
+    st = make_st(rng, 384, 300, (8, 20, 20), 4)
+    out_keys, out_coords, out_valid, out_shape = downsample_out_coords(
+        st, 3, 2, 1, 256)
+    plan = mc.build_downsample_plan(st, out_coords, out_valid, 3, 2, 1,
+                                    tile=128)
+    dual = mc.build_dual_down_plan(st, out_keys, out_shape, 3, 2, 1,
+                                   tile=128)
+    rows_f = np.asarray(mc._rows_from_plan(st.keys, plan))    # [Ta, Ko_pad]
+    rows_d = np.asarray(mc._rows_from_plan(out_keys, dual))   # [Ta, Ki_pad]
+    ta = rows_f.shape[0]
+    pairs_f = {(t, o, i) for t in range(ta)
+               for o, i in enumerate(rows_f[t]) if i >= 0}
+    pairs_d = {(ta - 1 - u, o, i) for u in range(ta)
+               for i, o in enumerate(rows_d[u]) if o >= 0}
+    assert pairs_f == pairs_d
+
+
+def test_inverse_plan_lex_floor_no_dropped_matches(rng):
+    """Regression: inverse-plan queries on NON-divisible rows used raw
+    per-axis floors, which are not monotone -> slab brackets could miss
+    matches. The lex-floor surrogate keeps the plan_rows (bracket) result
+    identical to the searchsorted oracle."""
+    from msmdfusion_tpu.ops.sparse.conv import downsample_out_coords
+    st = make_st(rng, 384, 300, (8, 20, 20), 4)
+    out_keys, out_coords, out_valid, out_shape = downsample_out_coords(
+        st, 3, 2, 1, 256)
+    coarse = SparseTensor(
+        features=jnp.zeros((out_keys.shape[0], 4), jnp.float32),
+        coords=out_coords, valid=out_valid, keys=out_keys,
+        spatial_shape=tuple(int(v) for v in out_shape), batch_size=1)
+    inv = mc.build_inverse_plan(coarse, st.coords, st.valid, 3, 2, 1,
+                                tile=128)
+    got = np.asarray(mc.plan_rows(out_keys, inv, interpret=True))
+    want = np.asarray(mc._rows_from_plan(out_keys, inv)).T
+    np.testing.assert_array_equal(got, want)
+    dual = mc.build_dual_down_plan(st, out_keys, out_shape, 3, 2, 1,
+                                   tile=128)
+    got_d = np.asarray(mc.plan_rows(out_keys, dual, interpret=True))
+    want_d = np.asarray(mc._rows_from_plan(out_keys, dual)).T
+    np.testing.assert_array_equal(got_d, want_d)
