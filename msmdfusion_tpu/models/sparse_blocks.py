@@ -11,11 +11,12 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple, Union
 
+import dataclasses
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-
-import dataclasses
 
 from ..ops.sparse.conv import downsample_out_coords, kernel_offsets
 from ..ops.sparse.dense_tail import dense_sparse_conv, use_dense
@@ -81,9 +82,10 @@ class SubMConv3d(nn.Module):
         key = ('subm', self.indice_key or f'auto_{self.name}')
         plan = cache.get(key)
         if plan is None:
-            plan = build_subm_plan(st, self.kernel_size,
-                                   **({'tile': self.tile} if self.tile
-                                      else {}))
+            with jax.named_scope('plan_build'):
+                plan = build_subm_plan(st, self.kernel_size,
+                                       **({'tile': self.tile} if self.tile
+                                          else {}))
             if use_vgather() and use_pallas():
                 # rulebook rows once per indice_key: every conv on this
                 # coordinate set then skips the one-hot match entirely
@@ -154,14 +156,16 @@ class SparseConv3d(nn.Module):
         dense = use_dense(st, self.kernel_size)
         entry = cache.get(key)
         if entry is None:
-            out_keys, out_coords, out_valid, out_shape = \
-                downsample_out_coords(
-                    st, self.kernel_size, self.stride, self.padding, cap,
-                    site=key[1])
-            plan = None if dense else build_downsample_plan(
-                st, out_coords, out_valid, self.kernel_size, self.stride,
-                self.padding,
-                **({'tile': self.tile} if self.tile else {}))
+            with jax.named_scope('out_coords'):
+                out_keys, out_coords, out_valid, out_shape = \
+                    downsample_out_coords(
+                        st, self.kernel_size, self.stride, self.padding,
+                        cap, site=key[1])
+            with jax.named_scope('plan_build'):
+                plan = None if dense else build_downsample_plan(
+                    st, out_coords, out_valid, self.kernel_size,
+                    self.stride, self.padding,
+                    **({'tile': self.tile} if self.tile else {}))
             if plan is not None and use_vgather() and use_pallas():
                 # stride-s output columns span ~s x the input rows of a
                 # submanifold column; the kernel's per-column tail loop

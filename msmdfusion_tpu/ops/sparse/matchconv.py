@@ -1202,6 +1202,8 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
     site) like every other fixed capacity in this framework.
     """
     _record_slab_overflow(plan, slab, 'matchconv.rows_slab')
+    scope = jax.named_scope('attach_rows')
+    scope.__enter__()
     if col_w is None:
         col_w = DEFAULT_COL_W
     col_w = min(col_w, slab)
@@ -1287,10 +1289,12 @@ def attach_rows(in_keys: jax.Array, plan: MatchPlan,
     live = _plan_live(plan).astype(jnp.int32)
     # rows ([K_out_pad, Ta]) ride along for the training backward's weight
     # gradient; XLA DCE drops them from inference traces
-    return dataclasses.replace(plan, rows_stack=rs, live32=live,
-                               col_base=cb, col_w=int(col_w), col_nv=nv,
-                               col_nvt=(None if not col_w else nvt),
-                               rows_raw=rows)
+    out = dataclasses.replace(plan, rows_stack=rs, live32=live,
+                              col_base=cb, col_w=int(col_w), col_nv=nv,
+                              col_nvt=(None if not col_w else nvt),
+                              rows_raw=rows)
+    scope.__exit__(None, None, None)
+    return out
 
 
 def _vgather_vmem_bytes(cin_pad: int, cout: int, ta: int, tile: int,
@@ -1724,22 +1728,32 @@ def _rows_kernel(starts_ref, q_ref, inb_ref, keys_hbm, out_ref, kslab,
             qstack = q_ref[:, g:g + 1]                    # [kx*T, 1]
 
             def chunk(c, acc):
+                # slab-relative match position via two exact hi/lo MXU
+                # dots (see _win_rows_kernel.win_v: cross-lane
+                # sum(where(m, iota)) reduces cost ~10x the compare)
                 krow = kslab[slot, :, pl.ds(c * cw, cw)]  # [1, cw]
-                m = qstack == krow                        # [kx*T, cw]
-                base = r0a + c * cw + 1                   # +1: 0 = miss
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, cw), 1) + base
-                return acc + jnp.sum(jnp.where(m, iota, 0), axis=1,
-                                     keepdims=True)
+                m = (qstack == krow).astype(jnp.bfloat16)  # [kx*T, cw]
+                # tpu.iota is integer-only: build i32, then convert
+                posv = jax.lax.broadcasted_iota(
+                    jnp.int32, (cw, 1), 0).astype(jnp.float32) \
+                    + (c * cw + 1).astype(jnp.float32)    # +1: 0 = miss
+                hi = posv.astype(jnp.bfloat16)
+                lo = (posv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                nt = (((1,), (0,)), ((), ()))
+                return acc + (
+                    jax.lax.dot_general(
+                        m, hi, nt, preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        m, lo, nt, preferred_element_type=jnp.float32))
 
             acc = jax.lax.fori_loop(
                 0, nch, chunk,
-                jnp.zeros((kx * tile, 1), jnp.int32))
+                jnp.zeros((kx * tile, 1), jnp.float32)).astype(jnp.int32)
             for j in range(kx):
                 t = g * kx + j
                 rj = acc[j * tile:(j + 1) * tile]         # [T, 1]
                 ok = (inb_ref[:, t:t + 1] != 0) & (rj > 0)
-                out_ref[:, t:t + 1] = jnp.where(ok, rj - 1, -1)
+                out_ref[:, t:t + 1] = jnp.where(ok, rj - 1 + r0a, -1)
 
 
 def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
@@ -1790,20 +1804,32 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
             dma(g, slot).wait()
             r0a = slab_start(g)
 
-            def win_v(v, acc, qcol, cbr, _slot=slot, _r0a=r0a):
+            def win_v(v, acc, qcol, cbr, _slot=slot):
+                # the match row is extracted as TWO MXU dots instead of a
+                # cross-lane sum(where(m, iota)): the lane reduce cost
+                # ~10x the compare itself (log-tree shuffles per vreg).
+                # The dot value is the SLAB-RELATIVE position + 1
+                # (<= 2049), exactly representable as a hi/lo bf16 pair;
+                # r0a is added back in the epilogue.
                 po = jnp.minimum(cbr + v * 128, slab - 128)
                 kw = kslab[_slot, :,
                            pl.ds(pl.multiple_of(po, 128), 128)]
-                m = qcol == kw                            # [128, 128]
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (128, 128), 1) \
-                    + (_r0a + po + 1)                     # +1: 0 = miss
-                contrib = jnp.sum(jnp.where(m, iota, 0), axis=1,
-                                  keepdims=True)
+                m = (qcol == kw).astype(jnp.bfloat16)     # [128, 128]
+                # tpu.iota is integer-only: build i32, then convert
+                posv = jax.lax.broadcasted_iota(
+                    jnp.int32, (128, 1), 0).astype(jnp.float32) \
+                    + (po + 1).astype(jnp.float32)
+                hi = posv.astype(jnp.bfloat16)            # top 8 bits
+                lo = (posv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                nt = (((1,), (0,)), ((), ()))
+                contrib = (jax.lax.dot_general(
+                    m, hi, nt, preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        m, lo, nt, preferred_element_type=jnp.float32))
                 # a clamped slice would re-read already-counted keys:
                 # contribute only within the slab window
                 return acc + jnp.where(cbr + v * 128 <= slab - 128,
-                                       contrib, 0)
+                                       contrib, 0.0)
 
             accs = []
             cols = []
@@ -1814,7 +1840,7 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
                     qcol = ok_ref[pl.ds(lc * 128, 128), 0:1] \
                         + jnp.int32(dkey[t])              # [128, 1]
                     cbr = pl.multiple_of(cb_ref[c_ix, i] - r0a, 128)
-                    acc = jnp.zeros((128, 1), jnp.int32)
+                    acc = jnp.zeros((128, 1), jnp.float32)
                     for v in range(win // 128):           # fast window
                         acc = win_v(v, acc, qcol, cbr)
                     accs.append(acc)
@@ -1834,11 +1860,11 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
             for j in range(kx):
                 for lc in range(tpc):
                     t = g * kx + j
-                    acc = accs[j * tpc + lc]
+                    acc = accs[j * tpc + lc].astype(jnp.int32)
                     ok = (inb_ref[pl.ds(lc * 128, 128), t:t + 1] != 0) \
                         & (acc > 0)
                     out_ref[pl.ds(lc * 128, 128), t:t + 1] = jnp.where(
-                        ok, acc - 1, -1)
+                        ok, acc - 1 + r0a, -1)
 
 
 def _win_plan_rows(in_keys: jax.Array, plan: MatchPlan, cb: jax.Array,

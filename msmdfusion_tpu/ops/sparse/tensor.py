@@ -102,9 +102,7 @@ def make_sparse_tensor(features, coords, valid,
         # element (~1 ms per 250k rows), and the old path paid three
         iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
         keys, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
-        features = features[order]
         valid = keys != INT_MAX
-        coords = unpack_keys(jnp.where(valid, keys, 0), spatial_shape)
         if site:
             from ...utils import overflow
             overflow.gauge(f'occ.make[{site}]', jnp.sum(valid))
@@ -113,10 +111,14 @@ def make_sparse_tensor(features, coords, valid,
             tag = f'[{site}]' if site else ''
             overflow.record(f'sparse.make.capacity{tag}',
                             jnp.sum(valid[capacity:]))
+            # slice BEFORE the feature gather: the row gather is
+            # descriptor-rate bound, so gathering only the kept rows saves
+            # the whole overflow tail (unions gather concat-sized inputs)
             keys = keys[:capacity]
-            features = features[:capacity]
+            order = order[:capacity]
             valid = valid[:capacity]
-            coords = coords[:capacity]
+        features = features[order]
+        coords = unpack_keys(jnp.where(valid, keys, 0), spatial_shape)
     features = jnp.where(valid[:, None], features, 0)
     coords = jnp.where(valid[:, None], coords, -1)
     return SparseTensor(features=features, coords=coords, valid=valid,

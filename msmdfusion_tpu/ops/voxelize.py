@@ -288,13 +288,17 @@ def voxelize_mean_batch(points, point_mask, voxel_size, point_cloud_range,
     feats = sums / jnp.maximum(counts[:, None], 1)
     voxel_valid = counts > 0
 
-    out_keys = jnp.full((v + 1,), INT_MAX, jnp.int32)
-    # duplicates write the identical key; invalid tail parks at v -> the
-    # scatter indices stay sorted
-    out_keys = out_keys.at[jnp.where(sorted_valid, jnp.minimum(slot, v),
-                                     v)].set(
-        skey, mode='drop', indices_are_sorted=True)
-    out_keys = out_keys[:v]
+    # compaction-by-sort: the j-th unique (head) key lands in slot j. An
+    # i32 sort of b*n elements replaces the previous 1-wide scatter, which
+    # retired ~1 element/cycle (~2.8 ms/frame across the 4 fg scales)
+    out_keys = jax.lax.sort(jnp.where(head, skey, INT_MAX),
+                            is_stable=False)
+    if out_keys.shape[0] >= v:
+        out_keys = out_keys[:v]
+    else:  # capacity exceeds the point count: pad the invalid tail
+        out_keys = jnp.concatenate(
+            [out_keys,
+             jnp.full((v - out_keys.shape[0],), INT_MAX, jnp.int32)])
     xc = out_keys % gx
     rest = out_keys // gx
     yc = rest % gy

@@ -261,16 +261,23 @@ def test_gma_deviations_detection_level(tmp_path):
         _run([variant, params, path], timeout=1800)
         res[variant] = dict(np.load(path))
 
-    def bidir(v):
-        return min(_agreement(res['default'], res[v]),
-                   _agreement(res[v], res['default']))
+    def bidir(v, iou_thr=0.5):
+        return min(_agreement(res['default'], res[v], iou_thr=iou_thr),
+                   _agreement(res[v], res['default'], iou_thr=iou_thr))
 
     agree = {v: bidir(v) for v in ('exact_nn', 'rand_dummy', 'jitter')}
-    print('trained A/B top-20 bidirectional agreement vs default:', agree,
+    agree07 = {v: bidir(v, iou_thr=0.7)
+               for v in ('exact_nn', 'rand_dummy', 'jitter')}
+    print('trained A/B top-20 bidirectional agreement vs default:',
+          'iou0.5', agree, 'iou0.7', agree07,
           f'(loss {first:.3f} -> {last:.3f})')
-    # The deviations must keep the ranked box set: (a) in absolute terms,
-    # and (b) relative to the chaos floor (1mm sub-sensor jitter).
-    assert agree['exact_nn'] >= 0.7, agree
-    assert agree['rand_dummy'] >= 0.7, agree
-    assert agree['exact_nn'] >= agree['jitter'] - 0.15, agree
-    assert agree['rand_dummy'] >= agree['jitter'] - 0.15, agree
+    # The deviations must keep the ranked box set: (a) in absolute terms
+    # at a TIGHT match threshold, and (b) relative to the chaos floor
+    # (1mm sub-sensor jitter). Measured round-5 (recorded in COVERAGE.md
+    # "GMA deviation A/B"): exact_nn 1.0, rand_dummy 1.0, jitter 1.0 at
+    # BOTH IoU 0.5 and 0.7 — the deviations are box-level invisible on a
+    # trained model (loss 46.3 -> 14.1).
+    assert agree07['exact_nn'] >= 0.9, (agree, agree07)
+    assert agree07['rand_dummy'] >= 0.9, (agree, agree07)
+    assert agree07['exact_nn'] >= agree07['jitter'] - 0.1, agree07
+    assert agree07['rand_dummy'] >= agree07['jitter'] - 0.1, agree07
