@@ -85,7 +85,8 @@ def make_sparse_tensor(features, coords, valid,
                        spatial_shape: Tuple[int, int, int], batch_size: int,
                        assume_sorted: bool = False,
                        capacity: int = None,
-                       site: str = '') -> SparseTensor:
+                       site: str = '',
+                       two_run_split: int = None) -> SparseTensor:
     """Build a SparseTensor, establishing the sorted-key invariant.
 
     ``capacity``: optional row budget smaller than the input row count —
@@ -93,6 +94,12 @@ def make_sparse_tensor(features, coords, valid,
     the largest-key valid rows (counted at ``sparse.make.capacity[site]``
     when any are valid; size the cap from the occupancy gauges). Downstream
     conv cost scales with capacity, so tight caps directly buy time.
+
+    ``two_run_split``: declare that rows ``[:two_run_split]`` and
+    ``[two_run_split:]`` are each already key-sorted (a coordinate-union
+    concat). The post-sort feature permutation is then two-run monotone
+    and runs on the one-hot MXU slab kernel (merge_take) instead of a
+    descriptor-rate XLA row gather.
     """
     keys = pack_keys(coords, spatial_shape, batch_size, valid)
     if not assume_sorted:
@@ -117,7 +124,12 @@ def make_sparse_tensor(features, coords, valid,
             keys = keys[:capacity]
             order = order[:capacity]
             valid = valid[:capacity]
-        features = features[order]
+        if two_run_split is not None:
+            from .merge_take import merge_take_rows
+            features = merge_take_rows(features, order, two_run_split,
+                                       site=site or 'make')
+        else:
+            features = features[order]
         coords = unpack_keys(jnp.where(valid, keys, 0), spatial_shape)
     features = jnp.where(valid[:, None], features, 0)
     coords = jnp.where(valid[:, None], coords, -1)
@@ -229,21 +241,36 @@ def sparse_add(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
     overflow.gauge('occ.sparse_add_union', jnp.sum(head))
     # gather-form union: each input's valid keys are unique (sorted-key
     # invariant), so every output group is 1 or 2 adjacent sorted rows.
-    # Compact the group-start positions with one i32 sort, then GATHER the
-    # (up to two) member rows per output slot. This replaces the previous
-    # segment-sum scatter-add + key scatter (~16 ms/iter across the GMA
-    # stages: TPU scatters retire ~1 row/cycle; row gathers are ~5x faster)
+    # The compaction sort carries (key|dup-bit, row, next-row) payloads so
+    # NO narrow per-row gathers remain (each ~5 ns/element on the gather
+    # engine), and the two member-feature rows come from the one-hot MXU
+    # slab kernel (merge_take) instead of descriptor-rate XLA row gathers.
+    # This replaced, in turn, the original segment-sum scatter-add union
+    # (~16 ms/iter across the GMA stages: scatters retire ~1 row/cycle).
     head_pos = jnp.where(head, iota, INT_MAX)
-    head_pos = jax.lax.sort(head_pos, is_stable=False)[:capacity]
-    out_valid = head_pos < n
-    hp = jnp.minimum(head_pos, n - 1)
-    out_keys = jnp.where(out_valid, skey[hp], INT_MAX)
-    nxt = jnp.minimum(hp + 1, n - 1)
-    dup = (nxt > hp) & (skey[nxt] == skey[hp]) & out_valid
-    row0 = jnp.take(feats, order[hp], axis=0)
-    row1 = jnp.take(feats, order[nxt], axis=0)
-    out_feats = jnp.where(out_valid[:, None],
-                          row0 + jnp.where(dup[:, None], row1, 0), 0)
+    skey_next = jnp.concatenate([skey[1:],
+                                 jnp.full((1,), INT_MAX, jnp.int32)])
+    dup_here = (skey_next == skey) & (skey != INT_MAX)
+    packed = skey.astype(jnp.uint32) * 2 + dup_here      # key < 2^31
+    order_next = jnp.concatenate([order[1:], jnp.zeros((1,), jnp.int32)])
+    hp, spacked, sorder, sorder_next = jax.lax.sort(
+        (head_pos, packed, order, order_next), num_keys=1,
+        is_stable=False)
+    hp = hp[:capacity]
+    spacked = spacked[:capacity]
+    out_valid = hp < n
+    out_keys = jnp.where(out_valid, (spacked >> 1).astype(jnp.int32),
+                         INT_MAX)
+    dup = (spacked & 1).astype(bool) & out_valid
+    # invalid tail rows are INACTIVE for the slab kernel (INT_MAX): they
+    # contribute zero, stay outside the window-base math, and are zeroed
+    # again below
+    idx0 = jnp.where(out_valid, sorder[:capacity], INT_MAX)
+    idx1 = sorder_next[:capacity]
+    from .merge_take import merge_take_rows
+    merged = merge_take_rows(feats, idx0, a.capacity, idx1, dup,
+                             site='sparse_add')
+    out_feats = jnp.where(out_valid[:, None], merged, 0)
     coords = unpack_keys(out_keys, a.spatial_shape)
     coords = jnp.where(out_valid[:, None], coords, -1)
     return SparseTensor(
@@ -319,12 +346,15 @@ def lookup_sorted_pair(a_keys, b_keys):
          & (skey[1:] != INT_MAX)])
     nxt_src = jnp.concatenate([ssrc[1:], jnp.zeros((1,), jnp.int32)])
     prv_src = jnp.concatenate([jnp.zeros((1,), jnp.int32), ssrc[:-1]])
-    row_in_b = jnp.full((ka,), -1, jnp.int32)
-    row_in_b = row_in_b.at[jnp.where(
-        (stag == 0) & nxt_same, ssrc, ka)].set(
-        jnp.where(nxt_same, nxt_src, -1), mode='drop')
-    row_in_a = jnp.full((kb,), -1, jnp.int32)
-    row_in_a = row_in_a.at[jnp.where(
-        (stag == 1) & prv_same, ssrc, kb)].set(
-        jnp.where(prv_same, prv_src, -1), mode='drop')
-    return row_in_b, row_in_a
+    # un-sort by ONE more unstable sort instead of two narrow scatters:
+    # TPU scatters retire ~1 row/cycle (~2x 0.4 ms/stage at full scale),
+    # a 2-operand u32 sort of the same length is ~3x cheaper. orig is the
+    # unique global input position (a rows then b rows), so sorting
+    # (orig, match) returns every row's match in original order.
+    match = jnp.where((stag == 0) & nxt_same, nxt_src,
+                      jnp.where((stag == 1) & prv_same, prv_src, -1))
+    orig = (ssrc.astype(jnp.uint32) + stag.astype(jnp.uint32)
+            * jnp.uint32(ka))
+    _, match_orig = jax.lax.sort((orig, match), num_keys=1,
+                                 is_stable=False)
+    return match_orig[:ka], match_orig[ka:]
