@@ -94,6 +94,93 @@ class LyftDataset(NuScenesDataset):
         kwargs.setdefault('with_velocity', False)
         super().__init__(*args, **kwargs)
 
+    def format_results(self, results, jsonfile_prefix='results_lyft'):
+        """Lyft sample-result dicts (reference lyft_dataset.py:236-263):
+        per-box ``{sample_token, translation, size, rotation, name,
+        score}`` — NO velocity/attribute fields (that long tail is
+        nuScenes-only) — under ``{'meta': modality, 'results': ...}``.
+        """
+        import json
+
+        from .nuscenes import (_quat_mul, _quat_to_matrix, _yaw_to_quat)
+        lyft_annos = {}
+        for idx, det in enumerate(results):
+            info = self.data_infos[idx]
+            token = info['token']
+            ident_q = np.array([1.0, 0.0, 0.0, 0.0])
+            l2e_r = np.asarray(info.get('lidar2ego_rotation', ident_q))
+            l2e_t = np.asarray(info.get('lidar2ego_translation',
+                                        np.zeros(3)))
+            e2g_r = np.asarray(info.get('ego2global_rotation', ident_q))
+            e2g_t = np.asarray(info.get('ego2global_translation',
+                                        np.zeros(3)))
+            annos = []
+            for box, score, label in zip(np.asarray(det['bboxes']),
+                                         np.asarray(det['scores']),
+                                         np.asarray(det['labels'])):
+                center = box[:3].copy()
+                center[2] += box[5] / 2     # bottom -> gravity center
+                center = _quat_to_matrix(l2e_r) @ center + l2e_t
+                center = _quat_to_matrix(e2g_r) @ center + e2g_t
+                rot = _quat_mul(
+                    e2g_r, _quat_mul(l2e_r, _yaw_to_quat(float(box[6]))))
+                annos.append(dict(
+                    sample_token=token,
+                    translation=center.tolist(),
+                    size=[float(box[3]), float(box[4]), float(box[5])],
+                    rotation=np.asarray(rot, float).tolist(),
+                    name=self.CLASSES[int(label)],
+                    score=float(score)))
+            lyft_annos[token] = annos
+        submission = dict(meta=dict(self.modality), results=lyft_annos)
+        out = f'{jsonfile_prefix}.json'
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        with open(out, 'w') as f:
+            json.dump(submission, f)
+        return out
+
+    def json2csv(self, json_path, csv_savepath):
+        """Kaggle submission CSV (reference lyft_dataset.py:426-463):
+        ``Id,PredictionString`` rows, one ``score x y z w l h yaw name``
+        group per box (quaternion converted back to yaw). Tokens missing
+        from the results get an empty prediction string; a
+        ``sample_submission.csv`` next to data_root seeds the Id order
+        when present, otherwise the results' own token order is used.
+        """
+        import csv
+        import json
+
+        with open(json_path) as f:
+            results = json.load(f)['results']
+        ids, preds = [], {}
+        sample_csv = os.path.join(self.data_root or '.',
+                                  'sample_submission.csv')
+        if os.path.exists(sample_csv):
+            with open(sample_csv) as f:
+                ids = [row['Id'] for row in csv.DictReader(f)]
+        if not ids:
+            ids = list(results.keys())
+        for token, annos in results.items():
+            parts = []
+            for p in annos:
+                w, x, y, z = p['rotation']
+                # quaternion -> yaw (reference uses
+                # Quaternion.yaw_pitch_roll[0])
+                yaw = np.arctan2(2 * (w * z + x * y),
+                                 1 - 2 * (y * y + z * z))
+                parts.append(' '.join(
+                    [str(p['score'])] + [str(v) for v in p['translation']]
+                    + [str(v) for v in p['size']] + [str(yaw), p['name']]))
+            preds[token] = ' '.join(parts)
+        os.makedirs(os.path.dirname(os.path.abspath(csv_savepath)),
+                    exist_ok=True)
+        with open(csv_savepath, 'w', newline='') as f:
+            wr = csv.writer(f)
+            wr.writerow(['Id', 'PredictionString'])
+            for t in ids:
+                wr.writerow([t, preds.get(t, '')])
+        return csv_savepath
+
 
 class _IndoorDataset(Custom3DDataset):
     """Shared reader for depth-frame indoor infos (ScanNet/SUNRGBD).
@@ -146,7 +233,36 @@ class _IndoorDataset(Custom3DDataset):
         if 'pts_semantic_mask_path' in info:
             ann['pts_semantic_mask_path'] = os.path.join(
                 self.data_root, info['pts_semantic_mask_path'])
+        if self.modality.get('use_camera') and 'bbox' in annos:
+            # image-plane gt boxes for the 2D eval path (reference
+            # sunrgbd_dataset.py:140-150 attaches them under use_camera)
+            ann['bboxes'] = (np.asarray(annos['bbox'], np.float32)
+                             if annos.get('gt_num',
+                                          len(annos.get('class', [])))
+                             else np.zeros((0, 4), np.float32))
+            ann['labels'] = labels
         return ann
+
+    def show(self, results, out_dir, show=True):
+        """Per-sample artifacts: BEV PNG + OBJ wireframes + the
+        interactive WebGL viewer (reference scannet/sunrgbd ``show``,
+        scannet_dataset.py:109-128, which opens an open3d window; here
+        the _viewer.html IS the rotatable window, headless-friendly).
+        """
+        from ..core.visualizer import show_result
+        outputs = []
+        for i, result in enumerate(results):
+            info = self.data_infos[i]
+            pts_path = info.get('pts_path', '')
+            name = os.path.split(pts_path)[-1].split('.')[0] or f's{i}'
+            full = os.path.join(self.data_root, pts_path)
+            points = (np.fromfile(full, np.float32).reshape(-1, 6)
+                      if os.path.exists(full) else None)
+            gt = self.get_ann_info(i)['gt_bboxes_3d']
+            pred = np.asarray(result.get('bboxes',
+                                         result.get('boxes_3d', [])))
+            outputs += show_result(points, gt, pred, out_dir, name)
+        return outputs
 
 
 @DATASETS.register('ScanNetDataset')

@@ -134,3 +134,45 @@ def test_fpnc_and_scconv_necks(rng):
     out = sc.apply(vars_, x)
     assert out.shape == (1, 16, 16, 8)   # 2 segments x 4 proj channels
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lyft_format_results_and_json2csv(tmp_path):
+    """Lyft submission dict + Kaggle CSV (reference lyft_dataset.py:236-263
+    format, :426-463 json2csv): per-box sample-result WITHOUT the
+    nuScenes-only velocity/attribute fields, quaternion rotation that
+    round-trips back to the box yaw in the CSV PredictionString."""
+    import csv
+    import json
+    import pickle
+
+    import numpy as np
+
+    from msmdfusion_tpu.datasets.other_datasets import LyftDataset
+
+    infos = [dict(token='tokA', lidar_path='x.bin',
+                  gt_boxes=np.zeros((0, 7)), gt_names=[], timestamp=0)]
+    pkl = tmp_path / 'infos.pkl'
+    with open(pkl, 'wb') as f:
+        pickle.dump(dict(infos=infos,
+                         metadata=dict(version='v1.01-train')), f)
+    ds = LyftDataset(data_root=str(tmp_path), ann_file=str(pkl),
+                     pipeline=[], test_mode=True)
+    det = dict(bboxes=np.array([[1, 2, 0.5, 2, 4, 1.5, 0.7]], np.float32),
+               scores=np.array([0.9], np.float32),
+               labels=np.array([0], np.int64))
+    out = ds.format_results([det], jsonfile_prefix=str(tmp_path / 'lyft'))
+    sub = json.load(open(out))
+    anno = sub['results']['tokA'][0]
+    assert anno['name'] == 'car' and abs(anno['score'] - 0.9) < 1e-6
+    assert 'velocity' not in anno and 'attribute_name' not in anno
+    assert len(anno['rotation']) == 4            # [w, x, y, z] quaternion
+    # gravity-center lift under identity poses
+    np.testing.assert_allclose(anno['translation'], [1, 2, 0.5 + 0.75],
+                               atol=1e-6)
+
+    csvp = ds.json2csv(out, str(tmp_path / 'sub.csv'))
+    rows = list(csv.DictReader(open(csvp)))
+    assert rows[0]['Id'] == 'tokA'
+    parts = rows[0]['PredictionString'].split(' ')
+    assert len(parts) == 9 and parts[-1] == 'car'
+    assert abs(float(parts[7]) - 0.7) < 1e-5     # yaw round-trips
