@@ -1804,13 +1804,31 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
             dma(g, slot).wait()
             r0a = slab_start(g)
 
+            nt = (((1,), (0,)), ((), ()))
+            # accumulators hold the COLUMN-WINDOW-RELATIVE position + 1
+            # (epilogue adds cbr + r0a back). The match row is extracted
+            # as MXU dots instead of a cross-lane sum(where(m, iota)):
+            # the lane reduce cost ~10x the compare itself (log-tree
+            # shuffles per vreg).
+
+            def win_fast(v, acc, qcol, cbr, _slot=slot):
+                # static fast-window step: relative positions are
+                # v*128+1 .. v*128+128 <= win <= 256, every one EXACTLY
+                # representable in bf16 (integers up to 2^8) -- ONE dot,
+                # no hi/lo split. cb is clipped to r0a + slab - win at
+                # build time, so the slice never leaves the slab.
+                kw = kslab[_slot, :, pl.ds(cbr + v * 128, 128)]
+                m = (qcol == kw).astype(jnp.bfloat16)     # [128, 128]
+                posr = jax.lax.broadcasted_iota(
+                    jnp.int32, (128, 1), 0).astype(jnp.float32) \
+                    + float(v * 128 + 1)                  # +1: 0 = miss
+                return acc + jax.lax.dot_general(
+                    m, posr.astype(jnp.bfloat16), nt,
+                    preferred_element_type=jnp.float32)
+
             def win_v(v, acc, qcol, cbr, _slot=slot):
-                # the match row is extracted as TWO MXU dots instead of a
-                # cross-lane sum(where(m, iota)): the lane reduce cost
-                # ~10x the compare itself (log-tree shuffles per vreg).
-                # The dot value is the SLAB-RELATIVE position + 1
-                # (<= 2049), exactly representable as a hi/lo bf16 pair;
-                # r0a is added back in the epilogue.
+                # dynamic tail step: relative positions reach nv*128
+                # (> 256), carried as an exact hi/lo bf16 pair
                 po = jnp.minimum(cbr + v * 128, slab - 128)
                 kw = kslab[_slot, :,
                            pl.ds(pl.multiple_of(po, 128), 128)]
@@ -1818,10 +1836,9 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
                 # tpu.iota is integer-only: build i32, then convert
                 posv = jax.lax.broadcasted_iota(
                     jnp.int32, (128, 1), 0).astype(jnp.float32) \
-                    + (po + 1).astype(jnp.float32)
+                    + (po - cbr + 1).astype(jnp.float32)
                 hi = posv.astype(jnp.bfloat16)            # top 8 bits
                 lo = (posv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                nt = (((1,), (0,)), ((), ()))
                 contrib = (jax.lax.dot_general(
                     m, hi, nt, preferred_element_type=jnp.float32)
                     + jax.lax.dot_general(
@@ -1842,7 +1859,8 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
                     cbr = pl.multiple_of(cb_ref[c_ix, i] - r0a, 128)
                     acc = jnp.zeros((128, 1), jnp.float32)
                     for v in range(win // 128):           # fast window
-                        acc = win_v(v, acc, qcol, cbr)
+                        acc = (win_fast if (v + 1) * 128 <= 256
+                               else win_v)(v, acc, qcol, cbr)
                     accs.append(acc)
                     cols.append((qcol, cbr))
             nvt_g = nvt_ref[g, i]
@@ -1860,11 +1878,12 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
             for j in range(kx):
                 for lc in range(tpc):
                     t = g * kx + j
+                    _, cbr = cols[j * tpc + lc]
                     acc = accs[j * tpc + lc].astype(jnp.int32)
                     ok = (inb_ref[pl.ds(lc * 128, 128), t:t + 1] != 0) \
                         & (acc > 0)
                     out_ref[pl.ds(lc * 128, 128), t:t + 1] = jnp.where(
-                        ok, acc - 1 + r0a, -1)
+                        ok, acc - 1 + cbr + r0a, -1)
 
 
 def _win_plan_rows(in_keys: jax.Array, plan: MatchPlan, cb: jax.Array,
