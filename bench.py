@@ -306,6 +306,29 @@ def bench_train():
         jax.block_until_ready(metrics)
         times.append(time.perf_counter() - t0)
     step_s = _median(times)
+
+    # fwd/bwd split: time the LOSS forward alone (train-mode apply + loss,
+    # no grad); bwd+optimizer is the remainder of the full step
+    @jax.jit
+    def fwd_only(p, bstats, batch, step):
+        variables = {'params': p, 'batch_stats': bstats}
+        preds, _ = model.apply(
+            variables, *batch['inputs'], train=True,
+            mutable=['batch_stats'],
+            rngs={'dropout': jax.random.fold_in(rng, step)})
+        losses = model.apply(variables, preds, batch['gt_bboxes'],
+                             batch['gt_labels'], batch['gt_valid'],
+                             method=type(model).loss)
+        return sum(jax.tree_util.tree_leaves(
+            {k: v for k, v in losses.items()
+             if k.startswith('loss') or '_loss' in k}))
+    jax.block_until_ready(fwd_only(p, bs, db, 0))
+    ftimes = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd_only(p, bs, db, i))
+        ftimes.append(time.perf_counter() - t0)
+    fwd_s = _median(ftimes)
     total_loss = float(metrics['total_loss'])
     assert np.isfinite(total_loss), total_loss
 
@@ -314,6 +337,8 @@ def bench_train():
         'value': round(b / step_s, 3),
         'unit': 'samples/s',
         'step_seconds': round(step_s, 3),
+        'fwd_seconds': round(fwd_s, 3),
+        'bwd_opt_seconds': round(max(step_s - fwd_s, 0.0), 3),
         'batch_per_chip': b,
         'total_loss': round(total_loss, 4),
         'vs_baseline': round(
@@ -337,6 +362,8 @@ def main():
                 tr = bench_train()
                 result['train_samples_per_sec_chip'] = tr['value']
                 result['train_step_seconds'] = tr['step_seconds']
+                result['train_fwd_seconds'] = tr['fwd_seconds']
+                result['train_bwd_opt_seconds'] = tr['bwd_opt_seconds']
                 result['train_total_loss'] = tr['total_loss']
                 result['train_vs_second_v100'] = tr['vs_baseline']
             except Exception as e:  # pragma: no cover
