@@ -1811,6 +1811,16 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
             # the lane reduce cost ~10x the compare itself (log-tree
             # shuffles per vreg).
 
+            # fast-window position vectors are static per step: build them
+            # ONCE per group instead of per column (18 columns would each
+            # re-materialize the iota+convert chain if Mosaic misses the
+            # CSE)
+            pos_fast = [
+                (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                 .astype(jnp.float32)
+                 + float(v * 128 + 1)).astype(jnp.bfloat16)
+                for v in range(win // 128) if (v + 1) * 128 <= 256]
+
             def win_fast(v, acc, qcol, cbr, _slot=slot):
                 # static fast-window step: relative positions are
                 # v*128+1 .. v*128+128 <= win <= 256, every one EXACTLY
@@ -1819,11 +1829,8 @@ def _win_rows_kernel(starts_ref, cb_ref, nvt_ref, ok_ref, inb_ref, keys_hbm,
                 # build time, so the slice never leaves the slab.
                 kw = kslab[_slot, :, pl.ds(cbr + v * 128, 128)]
                 m = (qcol == kw).astype(jnp.bfloat16)     # [128, 128]
-                posr = jax.lax.broadcasted_iota(
-                    jnp.int32, (128, 1), 0).astype(jnp.float32) \
-                    + float(v * 128 + 1)                  # +1: 0 = miss
                 return acc + jax.lax.dot_general(
-                    m, posr.astype(jnp.bfloat16), nt,
+                    m, pos_fast[v], nt,
                     preferred_element_type=jnp.float32)
 
             def win_v(v, acc, qcol, cbr, _slot=slot):
