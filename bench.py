@@ -155,6 +155,17 @@ def bench_infer():
 
     # warmup (compile + 5 steady, mirroring analysis_tools/benchmark.py)
     out = jax.block_until_ready(forward(*jax.device_put(host_args)))
+    # output sanity gate: the benchmarked forward must produce FINITE
+    # decoded boxes with in-range scores — a number measured on a NaN
+    # pipeline would be meaningless
+    boxes0 = jax.device_get(out[0])
+    for leaf in jax.tree_util.tree_leaves(boxes0):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float64))), \
+            'non-finite decode output'
+    if isinstance(boxes0, dict) and 'scores' in boxes0:
+        sc = np.asarray(boxes0['scores'])
+        assert sc.min() >= 0.0 and sc.max() <= 1.0 + 1e-5, (
+            'scores out of range', float(sc.min()), float(sc.max()))
     for _ in range(5):
         out = jax.block_until_ready(forward(*jax.device_put(host_args)))
 
