@@ -331,10 +331,14 @@ def _vjp_bwd(m, n_a, interpret, res, g):
 _merge_take.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def merge_take_available(table, idx) -> bool:
+def merge_take_available(table, idx, n_a) -> bool:
     from .matchconv import use_pallas
+    # n_a must be 8-aligned: the b-half DMA starts at base_b + n_a and
+    # the kernel promises Mosaic an 8-aligned sublane start. Every
+    # production caller passes a capacity (multiple of 512); odd splits
+    # take the exact XLA fallback instead of a misaligned DMA.
     return (use_pallas() and idx.shape[0] >= 4096
-            and table.shape[1] >= 16)
+            and table.shape[1] >= 16 and n_a % 8 == 0)
 
 
 def merge_take_rows(table: jax.Array, idx: jax.Array, n_a: int,
@@ -347,7 +351,8 @@ def merge_take_rows(table: jax.Array, idx: jax.Array, n_a: int,
     ~2^-16 relative accuracy on the kernel path (bf16 hi/lo split); the
     fallback is exact.
     """
-    if not (merge_take_available(table, idx) or interpret):
+    if not (merge_take_available(table, idx, n_a)
+            or (interpret and n_a % 8 == 0)):
         return _xla_take(table, idx, idx2, dup)
     bases, pab, rel, dropped = _prep(idx, n_a, table.shape[0], idx2, dup)
     from ...utils import overflow
